@@ -1,0 +1,121 @@
+"""Retrieval evaluation harness: recall@k / precision@k / F1 over labeled QA.
+
+Rebuilds the eval instrument whose *outputs* ship with the reference
+(``res_ablation/icici_rag_with_ragas_research_summary.json`` — retrieval
+P/R/F1 means+std, per-category and per-difficulty breakdowns) but whose code
+does not (SURVEY.md §4). recall@10 on ``qa_subset.json`` is the parity gate
+(BASELINE.md rebuild targets).
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from .datasets import EvalQuestion
+
+
+@dataclass
+class QuestionResult:
+    id: str
+    category: str
+    difficulty: Optional[str]
+    expected: list[str]
+    retrieved: list[str]
+    precision: float
+    recall: float
+    f1: float
+    latency_s: float = 0.0
+
+
+@dataclass
+class EvalReport:
+    k: int
+    results: list[QuestionResult] = field(default_factory=list)
+
+    def _mean_std(self, vals: list[float]) -> dict:
+        return {
+            "mean": statistics.fmean(vals) if vals else 0.0,
+            "std": statistics.pstdev(vals) if len(vals) > 1 else 0.0,
+        }
+
+    def summary(self) -> dict:
+        recs = [r.recall for r in self.results]
+        precs = [r.precision for r in self.results]
+        f1s = [r.f1 for r in self.results]
+        by_cat = defaultdict(list)
+        by_diff = defaultdict(list)
+        for r in self.results:
+            by_cat[r.category].append(r.f1)
+            if r.difficulty:
+                by_diff[r.difficulty].append(r.f1)
+        return {
+            "questions_evaluated": len(self.results),
+            "k": self.k,
+            "retrieval_precision": self._mean_std(precs),
+            "retrieval_recall": self._mean_std(recs),
+            "retrieval_f1": self._mean_std(f1s),
+            "perfect_retrievals": sum(1 for r in self.results if r.recall == 1.0),
+            "zero_recall_queries": sum(1 for r in self.results if r.recall == 0.0),
+            "avg_chunks_retrieved": statistics.fmean(len(r.retrieved) for r in self.results)
+            if self.results
+            else 0.0,
+            "f1_by_category": {c: self._mean_std(v)["mean"] for c, v in sorted(by_cat.items())},
+            "f1_by_difficulty": {d: self._mean_std(v)["mean"] for d, v in sorted(by_diff.items())},
+            "mean_latency_ms": statistics.fmean(r.latency_s for r in self.results) * 1e3
+            if self.results
+            else 0.0,
+        }
+
+
+def score_retrieval(expected: Sequence[str], retrieved: Sequence[str]) -> tuple[float, float, float]:
+    """Set precision/recall/F1 at the retrieved list (reference ablation metrics)."""
+    exp, ret = set(expected), list(retrieved)
+    if not ret or not exp:
+        return 0.0, 0.0, 0.0
+    hits = sum(1 for c in ret if c in exp)
+    precision = hits / len(ret)
+    recall = len(exp & set(ret)) / len(exp)
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return precision, recall, f1
+
+
+def evaluate_retrieval(
+    index,
+    questions: Sequence[EvalQuestion],
+    k: int = 10,
+    batch_size: int = 64,
+    method: str = "auto",
+) -> EvalReport:
+    """Run top-k retrieval for every question and score against labels.
+
+    ``index`` is anything with ``search_texts(queries, top_k) ->
+    list[list[SearchHit]]`` (DeviceVectorIndex, ShardedVectorIndex, or the
+    hybrid engine).
+    """
+    report = EvalReport(k=k)
+    for start in range(0, len(questions), batch_size):
+        batch = questions[start : start + batch_size]
+        t0 = time.perf_counter()
+        hit_lists = index.search_texts([q.question for q in batch], top_k=k, method=method)
+        dt = (time.perf_counter() - t0) / max(len(batch), 1)
+        for q, hits in zip(batch, hit_lists):
+            retrieved = [h.id for h in hits]
+            p, r, f1 = score_retrieval(q.expected_chunks, retrieved)
+            report.results.append(
+                QuestionResult(
+                    id=q.id,
+                    category=q.category,
+                    difficulty=q.difficulty,
+                    expected=list(q.expected_chunks),
+                    retrieved=retrieved,
+                    precision=p,
+                    recall=r,
+                    f1=f1,
+                    latency_s=dt,
+                )
+            )
+    return report

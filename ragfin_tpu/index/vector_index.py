@@ -1,0 +1,213 @@
+"""HBM-resident packed vector index with exact cosine top-k search.
+
+TPU-native replacement for the reference's Milvus collection ``fin_chunks``
+(``chunking_storing (1).py:14-29,377-397``): the embedding matrix lives packed
+and L2-normalized in device HBM; the sidecar metadata table (id, text, period,
+chunk_type, statement_type, primary_value — same fields as the Milvus schema)
+stays on host. Search is exact flat cosine (:mod:`ragfin_tpu.ops.topk`),
+which strictly dominates the reference's IVF_FLAT on recall at equal memory.
+
+Persistence replaces Milvus flush/load: ``save``/``load`` round-trip the
+packed matrix + metadata + featurizer stats to an ``.npz`` + JSON pair
+(SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.constants import DEFAULT_COLLECTION, EMBED_DIM
+from ..data.models import IndexedChunk
+from ..models.bag_encoder import BagEncoder, l2_normalize
+from ..models.featurizer import HashedFeaturizer
+from ..ops.topk import cosine_topk
+
+
+class SearchHit:
+    """One search result row (Milvus hit parity: score + entity fields)."""
+
+    __slots__ = ("score", "record", "rank")
+
+    def __init__(self, score: float, record: IndexedChunk, rank: int):
+        self.score = score
+        self.record = record
+        self.rank = rank
+
+    @property
+    def id(self) -> str:
+        return self.record.id
+
+    def to_dict(self, include_text: bool = True) -> dict:
+        out = {
+            "id": self.record.id,
+            "score": self.score,
+            "period": self.record.period,
+            "chunk_type": self.record.chunk_type,
+            "statement_type": self.record.statement_type,
+            "primary_value": self.record.primary_value,
+        }
+        if include_text:
+            out["text"] = self.record.text
+        return out
+
+
+class DeviceVectorIndex:
+    """Packed [N, D] unit-norm embedding matrix + host metadata sidecar."""
+
+    def __init__(
+        self,
+        embeddings: np.ndarray | jax.Array,
+        records: Sequence[IndexedChunk],
+        name: str = DEFAULT_COLLECTION,
+        pad_multiple: int = 2048,
+        dtype: jnp.dtype = jnp.float32,
+        normalize: bool = True,
+    ):
+        embeddings = jnp.asarray(embeddings, dtype=jnp.float32)
+        if embeddings.ndim != 2:
+            raise ValueError("embeddings must be [N, D]")
+        if embeddings.shape[0] != len(records):
+            raise ValueError("embeddings/records length mismatch")
+        if normalize:
+            embeddings = l2_normalize(embeddings)
+        self.n = embeddings.shape[0]
+        self.dim = embeddings.shape[1]
+        pad = -self.n % pad_multiple if self.n else pad_multiple
+        if pad:
+            embeddings = jnp.pad(embeddings, ((0, pad), (0, 0)))
+        # Stored TRANSPOSED [D, N_padded]: the layout the MXU wants for
+        # q @ corpus_t, so no search kernel pays a relayout (ops/topk.py).
+        self.matrix_t = jnp.asarray(embeddings.T, dtype=dtype)
+        self.records: list[IndexedChunk] = list(records)
+        self._by_id = {r.id: i for i, r in enumerate(self.records)}
+        self.name = name
+
+    # --- build -----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        chunks: Sequence[IndexedChunk],
+        encoder: Optional[BagEncoder] = None,
+        featurizer: Optional[HashedFeaturizer] = None,
+        batch_size: int = 1024,
+        **kwargs,
+    ) -> "DeviceVectorIndex":
+        """Embed chunk texts and pack the matrix (reference build pipeline
+        ``chunking_storing (1).py:377-397``, with encode on-device)."""
+        encoder = encoder or BagEncoder()
+        featurizer = featurizer or HashedFeaturizer(vocab_size=encoder.vocab_size)
+        texts = [c.text for c in chunks]
+        if not featurizer.n_docs:
+            featurizer.fit(texts)
+        embs = []
+        for start in range(0, len(texts), batch_size):
+            ids, wts = featurizer.encode_batch(texts[start : start + batch_size])
+            embs.append(np.asarray(encoder.encode(ids, wts)))
+        matrix = np.concatenate(embs, axis=0) if embs else np.zeros((0, EMBED_DIM), np.float32)
+        index = cls(matrix, chunks, **kwargs)
+        index.encoder = encoder
+        index.featurizer = featurizer
+        return index
+
+    # --- search ----------------------------------------------------------
+    def search_embeddings(
+        self, query_embeddings: jax.Array, top_k: int = 3, method: str = "auto"
+    ) -> tuple[jax.Array, jax.Array]:
+        """Raw device search: [Q, D] unit queries → (scores, row ids)."""
+        k = min(top_k, max(self.n, 1))
+        return cosine_topk(
+            jnp.asarray(query_embeddings, jnp.float32),
+            self.matrix_t,
+            k,
+            n_valid=self.n,
+            method=method,
+        )
+
+    def search_texts(
+        self, queries: Sequence[str], top_k: int = 3, method: str = "auto"
+    ) -> list[list[SearchHit]]:
+        """Encode query texts with the index's featurizer+encoder and search.
+
+        Mirrors ``collection.search(...)`` with COSINE + output fields
+        (retrieve.py:28-34).
+        """
+        ids, wts = self.featurizer.encode_batch(list(queries))
+        q = self.encoder.encode(ids, wts)
+        scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out = []
+        for qi in range(len(queries)):
+            hits = []
+            for rank in range(scores.shape[1]):
+                row = int(rows[qi, rank])
+                if row >= self.n or not np.isfinite(scores[qi, rank]):
+                    continue
+                hits.append(SearchHit(float(scores[qi, rank]), self.records[row], rank))
+            out.append(hits)
+        return out
+
+    # --- point lookups (Milvus `query(expr="id in [...]")` parity) -------
+    def get_by_ids(self, chunk_ids: Sequence[str]) -> list[IndexedChunk]:
+        return [self.records[self._by_id[c]] for c in chunk_ids if c in self._by_id]
+
+    def __contains__(self, chunk_id: str) -> bool:
+        return chunk_id in self._by_id
+
+    def __len__(self) -> int:
+        return self.n
+
+    def stats(self) -> dict:
+        """Collection stats (vector_rag_mcp/main.py:157-169 parity)."""
+        periods = sorted({r.period for r in self.records})
+        types = sorted({r.chunk_type for r in self.records})
+        return {
+            "collection": self.name,
+            "num_entities": self.n,
+            "dim": self.dim,
+            "padded_rows": int(self.matrix_t.shape[1]),
+            "dtype": str(self.matrix_t.dtype),
+            "periods": periods,
+            "chunk_types": types,
+            "index_type": "FLAT_EXACT",
+            "metric_type": "COSINE",
+        }
+
+    # --- persistence ------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(directory, "matrix.npz"),
+            matrix=np.asarray(self.matrix_t[:, : self.n].T, np.float32),
+        )
+        meta = {
+            "name": self.name,
+            "n": self.n,
+            "dim": self.dim,
+            "records": [r.model_dump() for r in self.records],
+        }
+        if getattr(self, "featurizer", None) is not None:
+            meta["featurizer"] = self.featurizer.state_dict()
+        if getattr(self, "encoder", None) is not None:
+            meta["encoder"] = self.encoder.state_dict()
+        with open(os.path.join(directory, "index.json"), "w") as f:
+            json.dump(meta, f, ensure_ascii=False)
+
+    @classmethod
+    def load(cls, directory: str, **kwargs) -> "DeviceVectorIndex":
+        with open(os.path.join(directory, "index.json")) as f:
+            meta = json.load(f)
+        matrix = np.load(os.path.join(directory, "matrix.npz"))["matrix"]
+        records = [IndexedChunk(**r) for r in meta["records"]]
+        index = cls(matrix, records, name=meta.get("name", DEFAULT_COLLECTION), **kwargs)
+        if "featurizer" in meta:
+            index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
+        if "encoder" in meta:
+            index.encoder = BagEncoder.from_state_dict(meta["encoder"])
+        return index

@@ -1,0 +1,163 @@
+"""Host-side text featurizer: text → hashed n-gram feature ids + TF-IDF weights.
+
+This is the "tokenizer" stage of the weight-free lexical encoder
+(:mod:`ragfin_tpu.models.bag_encoder`). It replaces the reference's
+SentenceTransformer MiniLM encode path (``chunking_storing (1).py:8,380``,
+``retrieve.py:27``) in environments with no pretrained weights: each text
+becomes a bag of hashed word unigrams/bigrams with TF-IDF weights, which the
+device encoder projects into the 384-dim embedding space via a fixed random
+table (a Johnson-Lindenstrauss projection of the sparse TF-IDF vector, so
+cosine similarity on device approximates lexical TF-IDF cosine).
+
+Numbers are first-class tokens (financial QA hinges on "10,636" matching
+"₹10,636 crore"): digit-group commas are stripped and decimals kept intact.
+
+The hash is FNV-1a 64-bit — chosen because it is trivially mirrored by the
+native C++ batch featurizer (native/fasthash.cpp) used for large corpora.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# Digit-group commas: 10,636 → 10636 (applied before tokenization).
+_COMMA_IN_NUMBER = re.compile(r"(?<=\d),(?=\d)")
+# Tokens: decimal numbers kept whole, else alphabetic runs.
+_TOKEN = re.compile(r"\d+(?:\.\d+)?|[a-z]+")
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit hash (mirrored in native/fasthash.cpp)."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase word/number tokens with numeric comma-groups collapsed."""
+    return _TOKEN.findall(_COMMA_IN_NUMBER.sub("", text.lower()))
+
+
+def features(text: str) -> list[str]:
+    """Unigrams + adjacent-word bigrams ("net profit" → "net_profit")."""
+    toks = tokenize(text)
+    return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+
+@dataclass
+class HashedFeaturizer:
+    """Maps text to (feature ids, weights) arrays for the device encoder.
+
+    ``vocab_size`` buckets; IDF statistics are fit on the corpus at index-build
+    time and reused for queries (``fit`` → ``encode_batch``). Without fitting,
+    weights fall back to pure sublinear TF.
+    """
+
+    vocab_size: int = 1 << 16
+    sublinear_tf: bool = True
+    bigram_weight: float = 1.0
+    drop_oov: bool = True
+    idf: dict[int, float] = field(default_factory=dict)
+    n_docs: int = 0
+
+    def feature_ids(self, text: str) -> Counter:
+        counts: Counter = Counter()
+        toks = tokenize(text)
+        for tok in toks:
+            counts[fnv1a64(tok.encode()) % self.vocab_size] += 1.0
+        if self.bigram_weight:
+            for a, b in zip(toks, toks[1:]):
+                counts[fnv1a64(f"{a}_{b}".encode()) % self.vocab_size] += self.bigram_weight
+        return counts
+
+    def fit(self, texts: Iterable[str]) -> "HashedFeaturizer":
+        """Fit IDF statistics over a corpus (smooth idf, like sklearn)."""
+        df: Counter = Counter()
+        n = 0
+        for text in texts:
+            n += 1
+            for fid in self.feature_ids(text):
+                df[fid] += 1
+        self.n_docs = n
+        self.idf = {
+            fid: math.log((1 + n) / (1 + d)) + 1.0 for fid, d in df.items()
+        }
+        return self
+
+    def weigh(self, counts: Counter) -> dict[int, float]:
+        """TF-IDF weights. Corpus-unseen features are dropped once IDF is
+        fitted: in exact sparse TF-IDF cosine an OOV term contributes zero to
+        every document dot product, but in the random-projected space it would
+        inject a max-IDF noise vector into the query embedding — dropping it
+        keeps JL cosine faithful to exact TF-IDF ranking."""
+        out = {}
+        for fid, tf in counts.items():
+            w = 1.0 + math.log(tf) if (self.sublinear_tf and tf > 0) else tf
+            if self.n_docs:
+                idf = self.idf.get(fid)
+                if idf is None:
+                    if self.drop_oov:
+                        continue
+                    idf = math.log(1 + self.n_docs) + 1.0
+                w *= idf
+            out[fid] = w
+        return out
+
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        pad_to: Optional[int] = None,
+        pad_multiple: int = 128,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch featurize: returns (ids [B, L] int32, weights [B, L] float32).
+
+        L is the max feature count in the batch rounded up to ``pad_multiple``
+        (static-shape friendly for jit caching); padding uses id 0 with weight
+        0 so padded entries contribute nothing to the bag sum.
+        """
+        weighted = [self.weigh(self.feature_ids(t)) for t in texts]
+        max_len = max((len(w) for w in weighted), default=1)
+        length = pad_to or max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
+        ids = np.zeros((len(texts), length), dtype=np.int32)
+        wts = np.zeros((len(texts), length), dtype=np.float32)
+        for row, wmap in enumerate(weighted):
+            items = list(wmap.items())[:length]
+            for col, (fid, w) in enumerate(items):
+                ids[row, col] = fid
+                wts[row, col] = w
+        return ids, wts
+
+    # --- persistence -----------------------------------------------------
+    def state_dict(self) -> dict:
+        return {
+            "vocab_size": self.vocab_size,
+            "sublinear_tf": self.sublinear_tf,
+            "drop_oov": self.drop_oov,
+            "bigram_weight": self.bigram_weight,
+            "n_docs": self.n_docs,
+            "idf_ids": list(self.idf.keys()),
+            "idf_vals": list(self.idf.values()),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "HashedFeaturizer":
+        f = cls(
+            vocab_size=int(state["vocab_size"]),
+            sublinear_tf=bool(state["sublinear_tf"]),
+            drop_oov=bool(state.get("drop_oov", True)),
+            bigram_weight=float(state["bigram_weight"]),
+        )
+        f.n_docs = int(state["n_docs"])
+        f.idf = {int(i): float(v) for i, v in zip(state["idf_ids"], state["idf_vals"])}
+        return f

@@ -1,0 +1,300 @@
+"""Exact cosine top-k over an HBM-resident embedding matrix.
+
+TPU-native replacement for the reference's Milvus IVF_FLAT COSINE search
+(``chunking_storing (1).py:29``, ``retrieve.py:28-34``). Exact flat search —
+strictly better recall than IVF at the same memory — in three tiers:
+
+- :func:`cosine_topk_dense`   — one matmul + ``lax.top_k``; correctness
+  reference, materializes the full [Q, N] score matrix.
+- :func:`cosine_topk_blocked` — ``lax.scan`` over corpus blocks with a
+  running top-k merge; memory-bounded (never holds more than [Q, block]
+  scores), pure XLA, works on any backend.
+- :func:`cosine_topk_fused`   — Pallas kernel fusing the tiled score matmul
+  with on-chip k-selection: scores never leave VMEM, HBM traffic is exactly
+  one read of the corpus matrix (the speed-of-light bound for exact search).
+
+The corpus is passed **transposed** as ``corpus_t [D, N]`` — the layout the
+MXU wants for ``q @ corpus_t`` — so no kernel ever pays a VMEM relayout
+(:class:`ragfin_tpu.index.vector_index.DeviceVectorIndex` stores this layout).
+
+All tiers return ``(scores [Q,k] f32 desc, ids [Q,k] int32)`` and agree
+exactly under HIGHEST precision (ties broken by lower id). Inputs are assumed
+L2-normalized (cosine == dot); pass ``n_valid`` to mask padded corpus columns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+_INT_MAX = 0x7FFFFFFF
+
+_PRECISIONS = {
+    "exact": jax.lax.Precision.HIGHEST,  # f32-accurate (multi-pass on MXU)
+    "fast": jax.lax.Precision.DEFAULT,  # single-pass bf16 inputs
+}
+
+
+def _score_mask(scores: jax.Array, n_valid: Optional[int]) -> jax.Array:
+    n = scores.shape[-1]
+    if n_valid is None or n_valid >= n:
+        return scores
+    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    return jnp.where(ids < n_valid, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_valid", "precision"))
+def cosine_topk_dense(
+    queries: jax.Array,
+    corpus_t: jax.Array,
+    k: int,
+    n_valid: Optional[int] = None,
+    precision: str = "exact",
+) -> tuple[jax.Array, jax.Array]:
+    """Reference implementation: full [Q, N] scores then ``lax.top_k``."""
+    scores = jnp.dot(
+        queries,
+        corpus_t.astype(queries.dtype),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )
+    scores = _score_mask(scores, n_valid)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "n_valid", "precision"))
+def cosine_topk_blocked(
+    queries: jax.Array,
+    corpus_t: jax.Array,
+    k: int,
+    block: int = 131072,
+    n_valid: Optional[int] = None,
+    precision: str = "exact",
+) -> tuple[jax.Array, jax.Array]:
+    """Memory-bounded exact top-k: scan over corpus column-blocks.
+
+    Peak live memory is [Q, block] scores + the [Q, 2k] merge buffer,
+    independent of N — the blockwise-computation idea applied to retrieval
+    scoring (SURVEY.md §5).
+    """
+    q = queries.shape[0]
+    d, n = corpus_t.shape
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    ct = jnp.pad(corpus_t, ((0, 0), (0, pad))) if pad else corpus_t
+    limit = min(n_valid, n) if n_valid is not None else n
+
+    def step(carry, blk_idx):
+        run_scores, run_ids = carry
+        blk = jax.lax.dynamic_slice(ct, (0, blk_idx * block), (d, block))
+        scores = jnp.dot(
+            queries,
+            blk.astype(queries.dtype),
+            preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[precision],
+        )
+        local_ids = blk_idx * block + jax.lax.broadcasted_iota(jnp.int32, (q, block), 1)
+        scores = jnp.where(local_ids < limit, scores, NEG_INF)
+        s, i = jax.lax.top_k(scores, min(k, block))
+        ids = jnp.take_along_axis(local_ids, i, axis=1)
+        cat_s = jnp.concatenate([run_scores, s], axis=1)
+        cat_i = jnp.concatenate([run_ids, ids], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init = (jnp.full((q, k), NEG_INF), jnp.full((q, k), jnp.int32(_INT_MAX)))
+    (scores, ids), _ = jax.lax.scan(step, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return scores, ids.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _topk_extract(scores: jax.Array, global_ids: jax.Array, k: int):
+    """Iteratively extract the k best (score, id) pairs along the last axis.
+
+    k passes of max+select+mask on a VMEM-resident tile. Gather-free (Mosaic
+    does not lower take_along_axis gathers): the winning id is recovered with
+    a masked min-reduction, which also breaks score ties toward the lowest id,
+    matching a stable descending sort.
+    """
+    out_s = []
+    out_i = []
+    int_max = jnp.int32(_INT_MAX)
+    for _ in range(k):
+        best = jnp.max(scores, axis=-1, keepdims=True)  # [R, 1]
+        chosen = jnp.min(
+            jnp.where(scores >= best, global_ids, int_max), axis=-1, keepdims=True
+        )  # [R, 1] lowest id among the maxima
+        out_s.append(best[:, 0])
+        out_i.append(chosen[:, 0])
+        scores = jnp.where(global_ids == chosen, NEG_INF, scores)
+    return jnp.stack(out_s, axis=-1), jnp.stack(out_i, axis=-1)
+
+
+def _fused_kernel(
+    n_valid_ref,
+    q_ref,
+    ct_ref,
+    out_s_ref,
+    out_i_ref,
+    acc_s,
+    acc_i,
+    *,
+    k: int,
+    block_n: int,
+    precision: str,
+):
+    """Grid = (Q tiles, N tiles); N is the minor (fastest) dimension.
+
+    Per query tile the kernel walks the corpus column-tiles, keeping the
+    running top-k (scores & global ids) in VMEM scratch. The [TQ, TN] score
+    tile is consumed on-chip right after the MXU produces it. A cheap
+    row-max threshold test skips the k-pass selection for tiles that cannot
+    improve the current top-k — on shuffled corpora almost every tile after
+    the first few is skipped, so the steady-state cost is one matmul + one
+    row-max per tile (bandwidth-bound, the speed-of-light for exact search).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, _INT_MAX)
+
+    scores = jnp.dot(
+        q_ref[:],
+        ct_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )
+    local_ids = j * block_n + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+
+    row_max = jnp.max(scores, axis=-1)  # [TQ]
+    kth_best = acc_s[:, k - 1]  # [TQ]
+    improves = jnp.any(row_max > kth_best)
+
+    @pl.when(improves)
+    def _merge():
+        tile_s, tile_i = _topk_extract(scores, local_ids, min(k, block_n))
+        cat_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
+        cat_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
+        new_s, new_i = _topk_extract(cat_s, cat_i, k)
+        acc_s[:] = new_s
+        acc_i[:] = new_i
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_valid", "block_q", "block_n", "precision", "interpret"),
+)
+def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret):
+    q, d = queries.shape
+    n = corpus_t.shape[1]
+    limit = min(n_valid, n) if n_valid is not None else n
+
+    pad_q = -q % block_q
+    pad_n = -n % block_n
+    if pad_q:
+        queries = jnp.pad(queries, ((0, pad_q), (0, 0)))
+    if pad_n:
+        corpus_t = jnp.pad(corpus_t, ((0, 0), (0, pad_n)))
+    qp, np_ = queries.shape[0], corpus_t.shape[1]
+
+    grid = (qp // block_q, np_ // block_n)
+    kernel = functools.partial(_fused_kernel, k=k, block_n=block_n, precision=precision)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_q, d), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((d, block_n), lambda i, j, *prefetch: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * d,
+            bytes_accessed=np_ * d * corpus_t.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.array([limit], dtype=jnp.int32), queries, corpus_t)
+    return out_s[:q], out_i[:q]
+
+
+def cosine_topk_fused(
+    queries: jax.Array,
+    corpus_t: jax.Array,
+    k: int,
+    n_valid: Optional[int] = None,
+    block_q: int = 128,
+    block_n: int = 2048,
+    precision: str = "exact",
+    interpret: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused matmul + k-select Pallas kernel (see module docstring).
+
+    Falls back to interpret mode automatically off-TPU so the same call sites
+    work on the CPU test mesh.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_call(
+        queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret
+    )
+
+
+def cosine_topk(
+    queries: jax.Array,
+    corpus_t: jax.Array,
+    k: int,
+    n_valid: Optional[int] = None,
+    method: str = "auto",
+    precision: str = "exact",
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatching entry point used by the vector index.
+
+    ``auto`` picks the fused Pallas kernel on TPU for large corpora and the
+    dense XLA path for small ones (kernel launch overhead dominates below a
+    few thousand rows).
+    """
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "fused" if (on_tpu and corpus_t.shape[1] >= 65536) else "dense"
+    if method == "dense":
+        return cosine_topk_dense(queries, corpus_t, k, n_valid, precision)
+    if method == "blocked":
+        return cosine_topk_blocked(queries, corpus_t, k, n_valid=n_valid, precision=precision)
+    if method == "fused":
+        return cosine_topk_fused(queries, corpus_t, k, n_valid=n_valid, precision=precision)
+    raise ValueError(f"unknown top-k method: {method}")

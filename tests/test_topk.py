@@ -1,0 +1,99 @@
+"""Exactness tests for the cosine top-k tiers (dense / blocked / fused Pallas).
+
+Kernel tests compare against a numpy oracle (SURVEY.md §4 test strategy); the
+Pallas kernel runs in interpret mode on the CPU test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ragfin_tpu.ops.topk import (
+    cosine_topk,
+    cosine_topk_blocked,
+    cosine_topk_dense,
+    cosine_topk_fused,
+)
+
+
+def _numpy_oracle(q, ct, k, n_valid=None):
+    scores = q @ ct
+    if n_valid is not None:
+        scores[:, n_valid:] = -np.inf
+    # argsort descending, stable → ties break toward lower id.
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, order, axis=1), order
+
+
+def _random_unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    corpus_t = _random_unit(rng, 1000, 64).T.copy()
+    queries = _random_unit(rng, 9, 64)
+    return queries, corpus_t
+
+
+@pytest.mark.parametrize("k", [1, 3, 10])
+class TestAgainstOracle:
+    def test_dense(self, data, k):
+        q, c = data
+        s, i = cosine_topk_dense(jnp.asarray(q), jnp.asarray(c), k)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_blocked(self, data, k):
+        q, c = data
+        s, i = cosine_topk_blocked(jnp.asarray(q), jnp.asarray(c), k, block=192)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_fused(self, data, k):
+        q, c = data
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+
+class TestPadding:
+    def test_n_valid_masks_padded_rows(self, data):
+        q, c = data
+        c_pad = np.concatenate([c, np.ones((c.shape[0], 24), np.float32)], axis=1)  # fake high-score pad
+        for fn in (cosine_topk_dense, cosine_topk_blocked):
+            s, i = fn(jnp.asarray(q), jnp.asarray(c_pad), 5, n_valid=c.shape[1])
+            assert int(np.max(np.asarray(i))) < c.shape[1]
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c_pad), 5, n_valid=c.shape[1], block_q=8, block_n=256)
+        assert int(np.max(np.asarray(i))) < c.shape[1]
+
+    def test_query_count_not_multiple_of_block(self, data):
+        q, c = data  # 9 queries with block_q=8 → padded query tile
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), 4, block_q=8, block_n=256)
+        assert s.shape == (9, 4) and i.shape == (9, 4)
+
+    def test_k_greater_than_tiny_corpus(self):
+        rng = np.random.default_rng(0)
+        q = _random_unit(rng, 2, 16)
+        c = _random_unit(rng, 4, 16).T.copy()
+        s, i = cosine_topk_dense(jnp.asarray(q), jnp.asarray(c), 4)
+        assert s.shape == (2, 4)
+
+
+class TestDispatch:
+    def test_auto_small_uses_dense(self, data):
+        q, c = data
+        s, i = cosine_topk(jnp.asarray(q), jnp.asarray(c), 3)
+        es, ei = _numpy_oracle(q, c, 3)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_unknown_method_raises(self, data):
+        q, c = data
+        with pytest.raises(ValueError):
+            cosine_topk(jnp.asarray(q), jnp.asarray(c), 3, method="bogus")

@@ -1,0 +1,88 @@
+"""DeviceVectorIndex build/search/persistence + recall parity gates."""
+
+import numpy as np
+import pytest
+
+from ragfin_tpu.eval.datasets import load_qa_subset, load_vector_eval
+from ragfin_tpu.eval.harness import evaluate_retrieval, score_retrieval
+from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+
+@pytest.fixture(scope="module")
+def index(request):
+    chunks = request.getfixturevalue("corpus_chunks")
+    return DeviceVectorIndex.build(chunks)
+
+
+# make module-scoped fixture able to use session fixture
+@pytest.fixture(scope="module")
+def corpus_chunks(reference_root):
+    from ragfin_tpu.data.loader import build_corpus
+    import os
+
+    return build_corpus(os.path.join(reference_root, "extract_data"))
+
+
+class TestIndex:
+    def test_build_shapes(self, index):
+        assert len(index) == 16
+        assert index.matrix_t.shape[0] == 384
+        assert index.matrix_t.shape[1] % 2048 == 0  # padded
+
+    def test_rows_unit_norm(self, index):
+        m = np.asarray(index.matrix_t[:, : index.n].T)
+        np.testing.assert_allclose(np.linalg.norm(m, axis=1), 1.0, rtol=1e-5)
+
+    def test_search_returns_expected_chunk(self, index):
+        hits = index.search_texts(["What was ICICI Bank's net profit in Q1 FY2024?"], top_k=3)[0]
+        assert hits[0].id == "icici_q1_fy2024_profitability_analysis"
+
+    def test_get_by_ids(self, index):
+        recs = index.get_by_ids(["icici_q2_fy2024_key_ratios", "nonexistent"])
+        assert len(recs) == 1 and recs[0].period == "Q2_FY2024"
+
+    def test_stats(self, index):
+        s = index.stats()
+        assert s["num_entities"] == 16
+        assert s["metric_type"] == "COSINE"
+        assert len(s["periods"]) == 4
+
+    def test_save_load_roundtrip(self, index, tmp_path):
+        d = str(tmp_path / "idx")
+        index.save(d)
+        loaded = DeviceVectorIndex.load(d)
+        assert len(loaded) == len(index)
+        q = "How did retail banking perform in Q3 FY2024?"
+        a = [h.id for h in index.search_texts([q], top_k=5)[0]]
+        b = [h.id for h in loaded.search_texts([q], top_k=5)[0]]
+        assert a == b
+
+
+class TestRecallParity:
+    """Parity gates from BASELINE.md: recall@10 on the labeled QA datasets."""
+
+    def test_qa_subset_recall_at_10(self, index, reference_root):
+        qa = load_qa_subset(f"{reference_root}/qa_subset.json")
+        s = evaluate_retrieval(index, qa, k=10).summary()
+        assert s["retrieval_recall"]["mean"] == 1.0
+        assert s["zero_recall_queries"] == 0
+
+    def test_vector_eval_recall_at_10(self, index, reference_root):
+        ve = load_vector_eval(f"{reference_root}/vector_rag_evaluation_dataset.json")
+        s = evaluate_retrieval(index, ve, k=10).summary()
+        assert s["retrieval_recall"]["mean"] == 1.0
+
+    def test_qa_subset_recall_at_3_beats_reference(self, index, reference_root):
+        """Reference measured recall 0.617 (res_ablation summary :10-11)."""
+        qa = load_qa_subset(f"{reference_root}/qa_subset.json")
+        s = evaluate_retrieval(index, qa, k=3).summary()
+        assert s["retrieval_recall"]["mean"] > 0.617
+
+
+class TestScoring:
+    def test_score_retrieval_perfect(self):
+        p, r, f1 = score_retrieval(["a"], ["a", "b"])
+        assert r == 1.0 and p == 0.5
+
+    def test_score_retrieval_empty(self):
+        assert score_retrieval([], ["a"]) == (0.0, 0.0, 0.0)

@@ -1,0 +1,156 @@
+"""Corpus-sharded exact top-k: one partition per chip, ICI all-gather merge.
+
+Component T5 (SURVEY.md §2.1): the corpus embedding matrix is row-sharded one
+partition per device over a 1-D mesh; each device runs the local exact top-k
+(:mod:`ragfin_tpu.ops.topk`) over its partition, then the per-shard (score,
+global-id) candidate sets — ``k`` pairs per shard, tiny — are merged with a
+``jax.lax.all_gather`` over the mesh axis (ICI traffic: ``P·k·8`` bytes per
+query, negligible) followed by a final k-selection. Result is replicated.
+
+This replaces nothing in the reference (single-node Milvus); it is the scale
+axis that makes 10M-chunk corpora query at speed-of-light (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..data.models import IndexedChunk
+from ..models.bag_encoder import l2_normalize
+from ..ops import topk as topk_ops
+from .mesh import make_mesh
+
+
+def sharded_cosine_topk(
+    mesh: Mesh,
+    axis: str,
+    queries: jax.Array,
+    corpus_t_sharded: jax.Array,
+    k: int,
+    n_valid: int,
+    method: str = "dense",
+    precision: str = "exact",
+):
+    """shard_map program: local exact top-k per shard + all-gather merge.
+
+    ``corpus_t_sharded`` is [D, N_padded] sharded over columns on ``axis``;
+    ``queries`` [Q, D] replicated. Returns replicated ([Q, k], [Q, k]).
+    """
+    n_total = corpus_t_sharded.shape[1]
+    n_dev = mesh.shape[axis]
+    shard_cols = n_total // n_dev
+
+    def local(q, ct_local):
+        shard = jax.lax.axis_index(axis)
+        base = shard * shard_cols
+        # Local k-select; padded columns handled by global-id masking below.
+        local_k = min(k, shard_cols)
+        if method == "fused":
+            s, i = topk_ops.cosine_topk_fused(q, ct_local, local_k, precision=precision)
+        elif method == "blocked":
+            s, i = topk_ops.cosine_topk_blocked(q, ct_local, local_k, precision=precision)
+        else:
+            s, i = topk_ops.cosine_topk_dense(q, ct_local, local_k, precision=precision)
+        gids = i + base
+        s = jnp.where(gids < n_valid, s, topk_ops.NEG_INF)
+        # Candidate merge across shards rides ICI: P*k pairs per query.
+        cand_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, P*k]
+        cand_i = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        kk = min(k, cand_s.shape[1])
+        top_s, sel = jax.lax.top_k(cand_s, kk)
+        top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return top_s, top_i.astype(jnp.int32)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(queries, corpus_t_sharded)
+
+
+class ShardedVectorIndex:
+    """Drop-in DeviceVectorIndex with the corpus sharded across a mesh.
+
+    Mirrors :class:`ragfin_tpu.index.vector_index.DeviceVectorIndex`'s search
+    API; metadata stays on host, embeddings are placed with a NamedSharding
+    over the mesh's first axis so XLA DMAs each partition to its chip.
+    """
+
+    def __init__(
+        self,
+        embeddings: np.ndarray | jax.Array,
+        records: Sequence[IndexedChunk],
+        mesh: Optional[Mesh] = None,
+        axis: Optional[str] = None,
+        pad_multiple: int = 128,
+        dtype: jnp.dtype = jnp.float32,
+        normalize: bool = True,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh(("data",))
+        self.axis = axis or self.mesh.axis_names[0]
+        n_dev = self.mesh.shape[self.axis]
+
+        embeddings = jnp.asarray(embeddings, jnp.float32)
+        if normalize and embeddings.size:
+            embeddings = l2_normalize(embeddings)
+        self.n = embeddings.shape[0]
+        self.dim = embeddings.shape[1]
+        chunk = pad_multiple * n_dev
+        pad = -self.n % chunk if self.n else chunk
+        if pad:
+            embeddings = jnp.pad(embeddings, ((0, pad), (0, 0)))
+        sharding = NamedSharding(self.mesh, P(None, self.axis))
+        self.matrix_t = jax.device_put(jnp.asarray(embeddings.T, dtype=dtype), sharding)
+        self.records = list(records)
+        self._by_id = {r.id: i for i, r in enumerate(self.records)}
+
+    @classmethod
+    def from_dense(cls, index, mesh: Optional[Mesh] = None, **kwargs) -> "ShardedVectorIndex":
+        """Re-shard an existing DeviceVectorIndex across a mesh."""
+        out = cls(
+            np.asarray(index.matrix_t[:, : index.n].T),
+            index.records,
+            mesh=mesh,
+            normalize=False,
+            **kwargs,
+        )
+        out.encoder = getattr(index, "encoder", None)
+        out.featurizer = getattr(index, "featurizer", None)
+        return out
+
+    def search_embeddings(self, query_embeddings, top_k: int = 3, method: str = "dense"):
+        q = jnp.asarray(query_embeddings, jnp.float32)
+        k = min(top_k, max(self.n, 1))
+        return sharded_cosine_topk(
+            self.mesh, self.axis, q, self.matrix_t, k, n_valid=self.n, method=method
+        )
+
+    def search_texts(self, queries, top_k: int = 3, method: str = "dense"):
+        from ..index.vector_index import SearchHit
+
+        ids, wts = self.featurizer.encode_batch(list(queries))
+        q = self.encoder.encode(ids, wts)
+        scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
+        scores, rows = np.asarray(scores), np.asarray(rows)
+        out = []
+        for qi in range(len(queries)):
+            hits = []
+            for rank in range(scores.shape[1]):
+                row = int(rows[qi, rank])
+                if row < self.n and np.isfinite(scores[qi, rank]):
+                    hits.append(SearchHit(float(scores[qi, rank]), self.records[row], rank))
+            out.append(hits)
+        return out
+
+    def __len__(self) -> int:
+        return self.n

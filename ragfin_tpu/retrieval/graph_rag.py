@@ -1,0 +1,428 @@
+"""Graph retrieval: question → entities → masked-gather strategies (C10-C12).
+
+Rebuilds the reference's three graph query surfaces on the device-resident
+fact store (:class:`ragfin_tpu.index.graph_index.GraphIndex`):
+
+- **Question entity extraction** (``graph_cons.py:483-739``): an LLM
+  chain-of-thought path with the same output contract, plus a deterministic
+  lexical matcher over the fixed entity vocabulary — the offline default
+  (SURVEY.md §3.5 suggests exactly this: "a device entity-matcher over the
+  fixed vocabulary").
+- **Strategy dispatch** (``graph_cons.py:345-481``): the six strategy
+  branches (segment×multi-quarter, metric×multi-quarter, single-quarter
+  deep-dive, segment-all-quarters, metric-trend, keyword fallback), each
+  lowering onto one masked-gather kernel call instead of a Cypher template.
+- **LLM query planning** (``graph_rag_mcp/services/graph_service.py:65-256``):
+  instead of generating Cypher for an external store, the LLM emits a small
+  JSON *query plan* executed on device; invalid output falls back to the
+  reference's fallback semantics (latest metrics, limit N).
+
+Plus :class:`GraphBuilder` (C10): chunk loop → extraction → fact appends with
+per-chunk failure accounting and text/structured auto-detection
+(``graph_rag_mcp/tools/graph_tools.py:90-156``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Optional, Sequence
+
+from ..config.constants import FINANCIAL_ENTITY_TYPES, SUPPORTED_QUARTERS
+from ..data.models import ExtractedEntities, FinancialChunk
+from ..extraction.service import (
+    EntityExtractor,
+    RuleBasedExtractor,
+    clean_llm_json,
+    convert_structured_to_entities,
+)
+from ..index.graph_index import BALANCE, METRIC, RATIO, SEGMENT, GraphIndex
+from ..llm.providers import LLMProvider
+
+# ---------------------------------------------------------------------------
+# Question entity extraction
+# ---------------------------------------------------------------------------
+
+# Lexical surface → canonical entity (the vocabulary the reference's CoT
+# prompt teaches its LLM; graph_cons.py:505-521 and the commented mapping
+# table at :592-685 document the same aliases).
+_QUARTER_ALIASES = {
+    "q1": "Q1_FY2024", "first quarter": "Q1_FY2024",
+    "q2": "Q2_FY2024", "second quarter": "Q2_FY2024",
+    "q3": "Q3_FY2024", "third quarter": "Q3_FY2024",
+    "q4": "Q4_FY2024", "fourth quarter": "Q4_FY2024",
+}
+_SEGMENT_ALIASES = {
+    "retail": "RETAIL BANKING SEGMENT",
+    "wholesale": "WHOLESALE BANKING SEGMENT",
+    "corporate": "WHOLESALE BANKING SEGMENT",
+    "treasury": "TREASURY SEGMENT",
+    "insurance": "LIFE INSURANCE SEGMENT",
+    "other segments": "OTHERS SEGMENT",
+}
+_METRIC_ALIASES = {
+    "net profit": "NET PROFIT",
+    "profit": "NET PROFIT",
+    "net income": "NET PROFIT",
+    "operating profit": "Operating Profit",
+    "interest income": "Interest Income",
+    "other income": "Other Income",
+    "total income": "Total Income",
+    "revenue": "Total Income",
+    "total expenses": "Total Expenses",
+    "interest expense": "Interest Expenses",
+    "operating expenses": "Operating Expenses",
+    "provisions": "Provisions",
+}
+_RATIO_ALIASES = {
+    "basic eps": "Basic EPS",
+    "diluted eps": "Diluted EPS",
+    "eps": "Basic EPS",
+    "earnings per share": "Basic EPS",
+    "net margin": "Net Margin",
+    "operating margin": "Operating Margin",
+    "cost ratio": "Cost Ratio",
+    "margin": "Net Margin",
+    "profitability": "Net Margin",
+}
+_BALANCE_ALIASES = {
+    "advances": "Advances", "loans": "Advances",
+    "investments": "Investments",
+    "deposits": "Customer Deposits",
+    "total assets": "Total Assets",
+    "assets": "Total Assets",
+    "equity": "Total Equity",
+    "cash": "Cash & RBI Balances",
+    "borrowings": "Borrowings",
+    "share capital": "Share Capital",
+    "reserves": "Reserves & Surplus",
+}
+
+_COMPARATIVE = re.compile(r"\b(which|compare|comparison|best|worst|drove|ranking|rank|better|versus|vs)\b", re.I)
+_ALL_QUARTERS = re.compile(
+    r"\b(across|evolve|evolution|trend|over time|throughout|each quarter|all quarters|quarterly|every quarter|q1 to q4|from q1)\b",
+    re.I,
+)
+
+
+def lexical_question_entities(question: str) -> list[dict[str, str]]:
+    """Deterministic question → entity list (same contract as the LLM path:
+    [{"name", "type"}] with types Quarter|Segment|Metric|Ratio|BalanceSheetItem)."""
+    q = question.lower()
+    entities: list[dict[str, str]] = []
+    seen = set()
+
+    def add(name: str, type_: str):
+        key = (name, type_)
+        if key not in seen:
+            seen.add(key)
+            entities.append({"name": name, "type": type_})
+
+    for alias, period in _QUARTER_ALIASES.items():
+        if re.search(rf"\b{re.escape(alias)}\b", q):
+            add(period, "Quarter")
+    mentions_all_segments = _COMPARATIVE.search(q) and re.search(r"\bsegments?\b|\bbusiness\b", q)
+    for alias, name in _SEGMENT_ALIASES.items():
+        if alias in q:
+            add(name, "Segment")
+    if mentions_all_segments and not any(e["type"] == "Segment" for e in entities):
+        for name in FINANCIAL_ENTITY_TYPES["business_segments"]:
+            add(name, "Segment")
+    # Longest-alias-first so "operating profit" wins over "profit".
+    for alias, name in sorted(_METRIC_ALIASES.items(), key=lambda kv: -len(kv[0])):
+        if alias in q:
+            add(name, "Metric")
+            break
+    for alias, name in sorted(_RATIO_ALIASES.items(), key=lambda kv: -len(kv[0])):
+        if alias in q:
+            add(name, "Ratio")
+            break
+    for alias, name in sorted(_BALANCE_ALIASES.items(), key=lambda kv: -len(kv[0])):
+        if alias in q:
+            add(name, "BalanceSheetItem")
+            break
+    if _ALL_QUARTERS.search(q) and not any(e["type"] == "Quarter" for e in entities):
+        for period in SUPPORTED_QUARTERS:
+            add(period, "Quarter")
+    return entities
+
+
+def build_question_entity_prompt(question: str) -> str:
+    """CoT prompt with the reference's output contract (graph_cons.py:490-572)."""
+    segments = ", ".join(FINANCIAL_ENTITY_TYPES["business_segments"])
+    metrics = ", ".join(FINANCIAL_ENTITY_TYPES["financial_metrics"])
+    ratios = ", ".join(FINANCIAL_ENTITY_TYPES["financial_ratios"])
+    return (
+        "You analyze financial questions about ICICI Bank FY2024 quarterly data.\n"
+        f'Question: "{question}"\n\n'
+        "Identify, step by step: (1) which quarters are referenced (map Q1/first "
+        "quarter/... to Q1_FY2024..Q4_FY2024; comparative or trend questions that "
+        "span quarters need every relevant quarter), (2) which business segments "
+        f"(canonical names: {segments}; 'which segment'-style comparisons need all "
+        f"five), (3) which metrics/ratios (canonical names: {metrics}; {ratios}).\n\n"
+        "Answer with ONLY this JSON:\n"
+        '{"reasoning": "...", "entities": [{"name": "<canonical name>", '
+        '"type": "Quarter|Segment|Metric|Ratio|BalanceSheetItem"}]}\n'
+    )
+
+
+async def llm_question_entities(question: str, provider: LLMProvider) -> list[dict[str, str]]:
+    """LLM path with lexical fallback on any failure (reference returns [])."""
+    try:
+        response = await provider.generate_content(build_question_entity_prompt(question))
+        parsed = clean_llm_json(response)
+        entities = (parsed or {}).get("entities", [])
+        valid = [
+            {"name": e["name"], "type": e["type"]}
+            for e in entities
+            if isinstance(e, dict) and e.get("name") and e.get("type")
+        ]
+        if valid:
+            return valid
+    except Exception:
+        pass
+    return lexical_question_entities(question)
+
+
+# ---------------------------------------------------------------------------
+# Strategy dispatch (C12)
+# ---------------------------------------------------------------------------
+
+
+def strategy_search(
+    graph: GraphIndex,
+    question: str,
+    entities: Optional[list[dict[str, str]]] = None,
+    limit: int = 30,
+) -> dict[str, Any]:
+    """Six-branch strategy dispatch (graph_cons.py:345-481 semantics).
+
+    Returns {"strategy", "entities", "results"}; results capped at ``limit``
+    (the reference's safety cap of 30).
+    """
+    if entities is None:
+        entities = lexical_question_entities(question)
+    quarters = [e["name"] for e in entities if e["type"] == "Quarter"]
+    segments = [e["name"] for e in entities if e["type"] == "Segment"]
+    metrics = [e["name"] for e in entities if e["type"] == "Metric"]
+    ratios = [e["name"] for e in entities if e["type"] == "Ratio"]
+    balance = [e["name"] for e in entities if e["type"] == "BalanceSheetItem"]
+
+    results: list[dict] = []
+    strategy = "pattern_fallback"
+
+    if segments and len(quarters) > 1:
+        strategy = "segment_multi_quarter"
+        results = graph.match(quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
+    elif (metrics or ratios or balance) and len(quarters) > 1:
+        strategy = "metric_multi_quarter"
+        results = graph.match(
+            quarters=quarters, names=metrics + ratios + balance,
+            types=[METRIC, RATIO, BALANCE], limit=limit,
+        )
+    elif len(quarters) == 1:
+        strategy = "single_quarter_deep_dive"
+        if segments:
+            results += graph.match(quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
+        if metrics:
+            results += graph.match(quarters=quarters, names=metrics, types=[METRIC], limit=limit)
+        if ratios:
+            results += graph.match(quarters=quarters, names=ratios, types=[RATIO], limit=limit)
+        if balance:
+            results += graph.match(quarters=quarters, names=balance, types=[BALANCE], limit=limit)
+        if not (segments or metrics or ratios or balance):
+            # Reference: headline metrics only for a bare quarter.
+            results = graph.match(
+                quarters=quarters,
+                names=["NET PROFIT", "Operating Profit", "Total Income"],
+                types=[METRIC],
+                limit=limit,
+            )
+    elif segments and not quarters:
+        strategy = "segment_all_quarters"
+        results = graph.match(names=segments, types=[SEGMENT], limit=limit)
+    elif (metrics or ratios or balance) and not quarters:
+        strategy = "metric_trend"
+        results = graph.match(
+            names=metrics + ratios + balance, types=[METRIC, RATIO, BALANCE], limit=limit
+        )
+    else:
+        # Keyword pattern fallback (reference :459-472).
+        if "retail" in question.lower() and re.search(r"compare|performance|across", question, re.I):
+            results = graph.match(
+                names=["RETAIL BANKING SEGMENT"], types=[SEGMENT], limit=limit
+            )
+    return {"strategy": strategy, "entities": entities, "results": results[:limit]}
+
+
+# ---------------------------------------------------------------------------
+# LLM query planning (C11)
+# ---------------------------------------------------------------------------
+
+_TYPE_BY_NAME = {"metrics": METRIC, "segments": SEGMENT, "ratios": RATIO, "balance_sheet_items": BALANCE}
+
+
+def build_plan_prompt(question: str, limit: int) -> str:
+    vocab = {k: v for k, v in FINANCIAL_ENTITY_TYPES.items()}
+    return (
+        "Translate this ICICI Bank financial question into a JSON retrieval plan "
+        "over a fact store keyed by quarter and entity name.\n"
+        f'Question: "{question}"\n\n'
+        f"Known quarters: {SUPPORTED_QUARTERS}\n"
+        f"Known entity names by type: {json.dumps(vocab)}\n\n"
+        "Reply with ONLY this JSON (no prose):\n"
+        "{\n"
+        '  "quarters": ["Q1_FY2024"],        // [] means all quarters\n'
+        '  "names": ["NET PROFIT"],          // [] means all entities\n'
+        '  "types": ["metrics"],             // subset of ["metrics","segments","ratios","balance_sheet_items"], [] = all\n'
+        f'  "limit": {limit}\n'
+        "}\n"
+        "Use only canonical names from the lists. Trend/comparison questions "
+        "across quarters leave quarters empty to get every quarter in order.\n"
+    )
+
+
+class GraphQueryEngine:
+    """LLM-planned graph query with deterministic fallback (C11)."""
+
+    def __init__(self, graph: GraphIndex, provider: Optional[LLMProvider] = None):
+        self.graph = graph
+        self.provider = provider
+
+    def fallback_plan(self, limit: int) -> dict:
+        """Reference fallback: latest metrics (graph_service.py:249-256)."""
+        quarters = sorted(self.graph.quarters, reverse=True)[:1]
+        return {"quarters": [], "names": [], "types": ["metrics"], "limit": limit,
+                "order": "quarter_desc", "_fallback": True, "_latest": quarters}
+
+    def _execute(self, plan: dict) -> list[dict]:
+        types = [_TYPE_BY_NAME[t] for t in plan.get("types", []) if t in _TYPE_BY_NAME] or None
+        results = self.graph.match(
+            quarters=plan.get("quarters") or None,
+            names=plan.get("names") or None,
+            types=types,
+            limit=int(plan.get("limit", 10)),
+        )
+        if plan.get("order") == "quarter_desc":
+            results = sorted(results, key=lambda r: r.get("quarter", ""), reverse=True)
+        return results
+
+    async def query(self, question: str, limit: int = 10) -> dict[str, Any]:
+        plan = None
+        if self.provider is not None:
+            try:
+                response = await self.provider.generate_content(build_plan_prompt(question, limit))
+                parsed = clean_llm_json(response)
+                if parsed is not None and isinstance(parsed.get("quarters", []), list):
+                    plan = {
+                        "quarters": [q for q in parsed.get("quarters", []) if isinstance(q, str)],
+                        "names": [n for n in parsed.get("names", []) if isinstance(n, str)],
+                        "types": [t for t in parsed.get("types", []) if t in _TYPE_BY_NAME],
+                        "limit": min(int(parsed.get("limit", limit) or limit), 100),
+                    }
+            except Exception:
+                plan = None
+        if plan is None:
+            # Deterministic planning from the lexical entity matcher.
+            entities = lexical_question_entities(question)
+            if entities:
+                dispatch = strategy_search(self.graph, question, entities, limit=limit)
+                return {"plan": {"strategy": dispatch["strategy"]}, "results": dispatch["results"],
+                        "fallback": False}
+            plan = self.fallback_plan(limit)
+        results = self._execute(plan)
+        if not results:
+            fb = self.fallback_plan(limit)
+            results = self._execute(fb)
+            return {"plan": fb, "results": results, "fallback": True}
+        return {"plan": plan, "results": results, "fallback": bool(plan.get("_fallback"))}
+
+
+# ---------------------------------------------------------------------------
+# Graph builder (C10)
+# ---------------------------------------------------------------------------
+
+
+class GraphBuilder:
+    """Chunk loop → extract → save with failure accounting (C10).
+
+    ``extractor`` is any object with ``async extract(chunk) ->
+    ExtractedEntities`` (LLM-backed EntityExtractor or the deterministic
+    RuleBasedExtractor). Structured-format chunks (dicts with
+    ``financialResults``) bypass the extractor (reference safe_chunk_processing,
+    graph_tools.py:90-156).
+    """
+
+    def __init__(self, graph: Optional[GraphIndex] = None, extractor=None, provider: Optional[LLMProvider] = None):
+        self.graph = graph if graph is not None else GraphIndex()
+        if extractor is None:
+            extractor = EntityExtractor(provider=provider) if provider is not None else RuleBasedExtractor()
+        self.extractor = extractor
+        self.query_engine = GraphQueryEngine(self.graph, provider)
+
+    @property
+    def current_model(self) -> str:
+        return getattr(self.extractor, "current_model", "rule-based")
+
+    def switch_extraction_model(self, model_name: str, api_key: Optional[str] = None) -> None:
+        self.extractor.switch_model(model_name, api_key)
+
+    async def build(
+        self,
+        chunks: Sequence[FinancialChunk | dict],
+        dataset_id: str = "icici_fy2024",
+        clear_existing: bool = False,
+    ) -> dict[str, Any]:
+        if clear_existing:
+            self.graph.clear_data(dataset_id)
+        processed = failed = total_entities = 0
+        failed_chunks: list[str] = []
+        for chunk in chunks:
+            chunk_id = chunk.get("id", "?") if isinstance(chunk, dict) else chunk.id
+            try:
+                entities, company = await self._extract_any(chunk)
+                if not entities.quarter:
+                    failed += 1
+                    failed_chunks.append(chunk_id)
+                    continue
+                self.graph.save_entities(entities, chunk_id, dataset_id, company_name=company)
+                processed += 1
+                total_entities += entities.total_count()
+            except Exception:
+                failed += 1
+                failed_chunks.append(chunk_id)
+        return {
+            "success": True,
+            "chunks_processed": processed,
+            "chunks_failed": failed,
+            "total_entities_created": total_entities,
+            "dataset_id": dataset_id,
+            "failed_chunk_ids": failed_chunks,
+        }
+
+    async def _extract_any(self, chunk) -> tuple[ExtractedEntities, Optional[str]]:
+        if isinstance(chunk, dict) and "financialResults" in chunk:
+            return convert_structured_to_entities(chunk)
+        if isinstance(chunk, dict):
+            chunk = FinancialChunk.model_validate(chunk)
+        return await self.extractor.extract(chunk), None
+
+    def build_from_vector_index(self, vector_index, dataset_id: str = "icici_fy2024"):
+        """Bootstrap the KG from the vector store — the reference's de-facto
+        resume path (graph_cons.py:34-53)."""
+        import asyncio
+
+        chunks = [r.to_financial_chunk() for r in vector_index.records]
+        return asyncio.run(self.build(chunks, dataset_id=dataset_id))
+
+    async def query(self, question: str, limit: int = 10) -> list[dict]:
+        return (await self.query_engine.query(question, limit))["results"]
+
+    def is_healthy(self) -> bool:
+        return self.graph.health_check()
+
+    def get_stats(self) -> dict:
+        return self.graph.stats()
+
+    def clear(self, dataset_id: Optional[str] = None) -> None:
+        self.graph.clear_data(dataset_id)

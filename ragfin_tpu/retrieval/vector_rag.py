@@ -1,0 +1,80 @@
+"""Vector RAG: search + answer generation (C6).
+
+Behavioral parity with the reference's ``SimpleRAG`` (``retrieve.py:7-82``)
+and ``VectorRAG`` (``vector_rag_mcp/main.py:48-108``): encode the question,
+exact cosine top-k over the device index, assemble numbered contexts, prompt
+an LLM for a grounded answer (exact numbers + period). Without a provider the
+answer path degrades to a deterministic extractive answer built from the
+top-ranked chunk (flagged ``extractive``) so the full pipeline works offline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from ..index.vector_index import DeviceVectorIndex, SearchHit
+from ..llm.providers import LLMProvider
+
+
+def build_answer_prompt(question: str, contexts: Sequence[str]) -> str:
+    """Grounded-answer prompt (same instruction semantics as retrieve.py:52-65)."""
+    numbered = "\n\n".join(f"Context {i + 1}: {ctx}" for i, ctx in enumerate(contexts))
+    return (
+        "Answer the question using only the ICICI Bank financial data below.\n\n"
+        f"QUESTION: {question}\n\n"
+        f"CONTEXT:\n{numbered}\n\n"
+        "Requirements:\n"
+        "- Quote exact figures from the context, keeping decimals and units.\n"
+        "- Name the quarter/period the figure belongs to.\n"
+        "- If the context does not contain the answer, say so explicitly.\n"
+        "- Be concise and factual.\n\n"
+        "ANSWER:"
+    )
+
+
+class VectorRAG:
+    """Search + answer over a DeviceVectorIndex."""
+
+    def __init__(self, index: DeviceVectorIndex, provider: Optional[LLMProvider] = None):
+        self.index = index
+        self.provider = provider
+
+    # --- search (MCP tool `search_vectors` contract) ----------------------
+    def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
+        hits = self.index.search_texts([query], top_k=top_k)[0]
+        return [h.to_dict() for h in hits]
+
+    def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
+        return self.index.search_texts(list(queries), top_k=top_k)
+
+    # --- answer (MCP tool `answer_question` contract) ---------------------
+    async def search_and_answer(self, question: str, top_k: int = 3) -> dict[str, Any]:
+        hits = self.index.search_texts([question], top_k=top_k)[0]
+        contexts = [h.record.text for h in hits]
+        result = {
+            "question": question,
+            "contexts": [h.to_dict(include_text=True) for h in hits],
+            "num_contexts": len(hits),
+        }
+        if self.provider is not None:
+            try:
+                answer = await self.provider.generate_content(
+                    build_answer_prompt(question, contexts)
+                )
+                result.update(answer=answer.strip(), answer_mode="llm")
+                return result
+            except Exception as e:  # reference returns the error string
+                result.update(answer=f"Error generating answer: {e}", answer_mode="error")
+                return result
+        result.update(answer=self._extractive_answer(hits), answer_mode="extractive")
+        return result
+
+    @staticmethod
+    def _extractive_answer(hits: Sequence[SearchHit]) -> str:
+        if not hits:
+            return "No relevant context found."
+        top = hits[0].record
+        return f"[{top.period} – {top.chunk_type}] {top.text}"
+
+    def stats(self) -> dict:
+        return self.index.stats()

@@ -1,0 +1,174 @@
+"""Extraction tests: rule-based oracle, LLM-cleaning pipeline, structured path."""
+
+import asyncio
+import json
+
+import pytest
+
+from ragfin_tpu.data.models import ExtractedEntities, FinancialChunk
+from ragfin_tpu.extraction.service import (
+    EntityExtractor,
+    build_extraction_prompt,
+    clean_llm_json,
+    convert_structured_to_entities,
+    filter_required,
+    infer_period_from_structured,
+    normalize_company_name,
+    normalize_metric_name,
+    rule_based_extract,
+)
+from ragfin_tpu.llm.providers import FakeProvider
+
+
+@pytest.fixture(scope="module")
+def chunk_by_type(request):
+    chunks = request.getfixturevalue("corpus_chunks")
+    return {(c.period, c.chunk_type): c for c in chunks}
+
+
+@pytest.fixture(scope="module")
+def corpus_chunks(reference_root):
+    from ragfin_tpu.data.loader import build_corpus
+    import os
+
+    return build_corpus(os.path.join(reference_root, "extract_data"))
+
+
+class TestRuleBasedExtract:
+    def test_profitability_chunk(self, chunk_by_type):
+        c = chunk_by_type[("Q1_FY2024", "profitability_analysis")]
+        e = rule_based_extract(c.text)
+        assert e.quarter == "Q1_FY2024"
+        by_name = {m.name: m for m in e.financial_metrics}
+        assert by_name["NET PROFIT"].value == 10636
+        assert by_name["NET PROFIT"].growth_yoy == 44.0
+        assert by_name["Operating Profit"].value == 15660
+        assert by_name["Total Income"].value == 52084
+        assert by_name["Interest Expenses"].value == 16368
+        assert by_name["Operating Expenses"].value == 20057
+        assert by_name["Provisions"].value == 1345
+        ratios = {r.name: r for r in e.financial_ratios}
+        assert ratios["Net Margin"].value == 20.4
+        assert ratios["Operating Margin"].value == 30.1
+        assert ratios["Cost Ratio"].value == 69.9
+
+    def test_balance_chunk(self, chunk_by_type):
+        c = chunk_by_type[("Q1_FY2024", "balance_sheet_analysis")]
+        e = rule_based_extract(c.text)
+        by_name = {b.name: b for b in e.balance_sheet_items}
+        assert by_name["Total Assets"].value == 2039897
+        assert by_name["Advances"].value == 1124875
+        assert by_name["Advances"].percentage_of_total == 55.1
+        assert by_name["Customer Deposits"].value == 1269343
+        assert by_name["Total Equity"].value == 225150
+
+    def test_ratios_chunk(self, chunk_by_type):
+        c = chunk_by_type[("Q1_FY2024", "financial_ratios")]
+        e = rule_based_extract(c.text)
+        ratios = {r.name: r for r in e.financial_ratios}
+        assert ratios["Basic EPS"].value == 15.22
+        assert ratios["Basic EPS"].growth_yoy == 43.3
+        assert ratios["Diluted EPS"].value == 14.91
+
+    def test_segment_chunk(self, chunk_by_type):
+        c = chunk_by_type[("Q1_FY2024", "segment_analysis")]
+        e = rule_based_extract(c.text)
+        segs = {s.name: s for s in e.business_segments}
+        assert len(segs) == 5
+        assert segs["RETAIL BANKING SEGMENT"].revenue == 31057
+        assert segs["RETAIL BANKING SEGMENT"].margin == 13.5
+        assert segs["RETAIL BANKING SEGMENT"].percentage_of_total == 35.5
+        assert segs["TREASURY SEGMENT"].revenue == 26306
+
+    def test_all_sixteen_chunks_extract(self, corpus_chunks):
+        for c in corpus_chunks:
+            e = rule_based_extract(c.text)
+            assert e.quarter == c.period
+            assert e.total_count() > 0, c.id
+
+    def test_unknown_text_empty(self):
+        e = rule_based_extract("The quick brown fox.")
+        assert e.quarter is None and e.total_count() == 0
+
+
+class TestLLMCleaning:
+    def test_fenced_json(self):
+        assert clean_llm_json('```json\n{"quarter": "Q1_FY2024"}\n```') == {"quarter": "Q1_FY2024"}
+
+    def test_prose_wrapped(self):
+        assert clean_llm_json('Here you go: {"a": 1} hope that helps') == {"a": 1}
+
+    def test_float_precision_repair(self):
+        blown = '{"v": 15.220000000000000000000000000001}'.replace(
+            "15.220000000000000000000000000001", "15.22" + "0" * 30 + "1"
+        )
+        assert clean_llm_json(blown) is not None
+
+    def test_garbage_none(self):
+        assert clean_llm_json("no braces here") is None
+        assert clean_llm_json("") is None
+
+    def test_filter_required_drops_null_values(self):
+        data = {
+            "quarter": "Q1_FY2024",
+            "financial_metrics": [{"name": "X", "value": None}, {"name": "Y", "value": 1.0}],
+            "business_segments": [{"name": "S", "revenue": None, "margin": 1}],
+        }
+        out = filter_required(data)
+        assert len(out["financial_metrics"]) == 1
+        assert out["business_segments"] == []
+
+
+class TestEntityExtractor:
+    def test_extract_via_fake_provider(self):
+        payload = json.dumps(
+            {
+                "quarter": "Q2_FY2024",
+                "financial_metrics": [{"name": "NET PROFIT", "value": 9648.0, "growth_yoy": 36.1}],
+            }
+        )
+        extractor = EntityExtractor(provider=FakeProvider(responder=lambda p: payload))
+        chunk = FinancialChunk(id="c", period="Q2_FY2024", type="t", size=20, text="some text here ok")
+        out = asyncio.run(extractor.extract(chunk))
+        assert out.quarter == "Q2_FY2024"
+        assert out.financial_metrics[0].value == 9648.0
+
+    def test_bad_response_yields_empty(self):
+        extractor = EntityExtractor(provider=FakeProvider(responder=lambda p: "not json"))
+        chunk = FinancialChunk(id="c", period="Q2_FY2024", type="t", size=20, text="some text here ok")
+        out = asyncio.run(extractor.extract(chunk))
+        assert out == ExtractedEntities()
+
+    def test_prompt_contains_text_and_schema(self):
+        p = build_extraction_prompt("SOME CHUNK TEXT")
+        assert "SOME CHUNK TEXT" in p and "Q#_FY####" in p
+
+
+class TestStructuredConverter:
+    def test_convert(self, reference_root):
+        import json as j
+        import os
+
+        with open(os.path.join(reference_root, "extract_data", "icici_q4_2023", "consolidated_fin.json")) as f:
+            data = j.load(f)
+        # reshape to the structured-ingestion format (financialResults key)
+        structured = {"company": data["company"], "periods": data.get("periods", {}),
+                      "financialResults": data["consolidatedResults"]}
+        entities, company = convert_structured_to_entities(structured)
+        assert company == "ICICI Bank"
+        assert entities.quarter == "Q4_FY2024"
+        names = {m.name for m in entities.financial_metrics}
+        assert "NET PROFIT" in names and "Interest Income" in names
+
+    def test_company_normalization(self):
+        assert normalize_company_name("axis_q1.pdf") == "Axis Bank"
+        assert normalize_company_name("") == "Unknown Bank"
+
+    def test_metric_name_mapping(self):
+        assert normalize_metric_name("interestEarned") == "Interest Income"
+        assert normalize_metric_name("custom_thing") == "Custom Thing"
+
+    def test_period_inference(self):
+        assert infer_period_from_structured({"periods": {"yearEnded": {"march2024": {}}}}) == "Q4_FY2024"
+        assert infer_period_from_structured({"periods": {"quarter": {"september2023": {}}}}) == "Q2_FY2024"
+        assert infer_period_from_structured({}) == "FY2024"

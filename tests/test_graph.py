@@ -1,0 +1,230 @@
+"""Graph store + strategy dispatch + query planning + hybrid fusion tests."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from ragfin_tpu.data.loader import build_corpus
+from ragfin_tpu.extraction.service import rule_based_extract
+from ragfin_tpu.index.graph_index import GraphIndex, METRIC, RATIO, SEGMENT
+from ragfin_tpu.index.vector_index import DeviceVectorIndex
+from ragfin_tpu.llm.providers import FakeProvider
+from ragfin_tpu.retrieval.graph_rag import (
+    GraphBuilder,
+    GraphQueryEngine,
+    lexical_question_entities,
+    strategy_search,
+)
+from ragfin_tpu.retrieval.hybrid import HybridRAG
+
+
+@pytest.fixture(scope="module")
+def corpus_chunks(reference_root):
+    import os
+
+    return build_corpus(os.path.join(reference_root, "extract_data"))
+
+
+@pytest.fixture(scope="module")
+def graph(corpus_chunks):
+    g = GraphIndex()
+    for c in corpus_chunks:
+        entities = rule_based_extract(c.text)
+        g.save_entities(entities, c.id)
+    return g
+
+
+class TestGraphIndex:
+    def test_stats(self, graph):
+        s = graph.stats()
+        assert s["Quarter_count"] == 4
+        assert s["Segment_count"] == 20  # 5 segments x 4 quarters
+        assert s["Metric_count"] >= 36  # 9 metrics x 4 quarters
+        assert s["quarters_available"] == ["Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"]
+
+    def test_match_metric_single_quarter(self, graph):
+        rows = graph.match(quarters=["Q1_FY2024"], names=["NET PROFIT"], types=[METRIC])
+        assert len(rows) == 1
+        assert rows[0]["value"] == 10636
+        assert rows[0]["growth"] == 44.0
+        assert rows[0]["quarter"] == "Q1_FY2024"
+
+    def test_match_all_quarters_ordered(self, graph):
+        rows = graph.match(names=["NET PROFIT"], types=[METRIC])
+        assert [r["quarter"] for r in rows] == ["Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"]
+
+    def test_match_segment(self, graph):
+        rows = graph.match(quarters=["Q2_FY2024"], names=["RETAIL BANKING SEGMENT"], types=[SEGMENT])
+        assert len(rows) == 1
+        assert rows[0]["revenue"] == 33080  # DF02 ground truth
+        assert "margin" in rows[0]
+
+    def test_limit_cap(self, graph):
+        rows = graph.match(limit=30)
+        assert len(rows) == 30
+
+    def test_expand_cooccurrence(self, graph):
+        rows = graph.expand(["Basic EPS"], limit=200)
+        quarters = {r["quarter"] for r in rows}
+        assert quarters == {"Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"}
+
+    def test_clear_dataset(self, corpus_chunks):
+        g = GraphIndex()
+        for c in corpus_chunks[:4]:
+            g.save_entities(rule_based_extract(c.text), c.id, dataset_id="a")
+        for c in corpus_chunks[4:8]:
+            g.save_entities(rule_based_extract(c.text), c.id, dataset_id="b")
+        total = g.stats()["total_facts"]
+        g.clear_data("a")
+        assert 0 < g.stats()["total_facts"] < total
+        g.clear_data()
+        assert g.stats()["total_facts"] == 0
+
+    def test_save_load_roundtrip(self, graph, tmp_path):
+        d = str(tmp_path / "graph")
+        graph.save(d)
+        loaded = GraphIndex.load(d)
+        assert loaded.stats() == graph.stats()
+        a = loaded.match(quarters=["Q3_FY2024"], names=["NET PROFIT"], types=[METRIC])
+        b = graph.match(quarters=["Q3_FY2024"], names=["NET PROFIT"], types=[METRIC])
+        assert a == b
+
+
+class TestLexicalEntities:
+    def test_single_quarter_metric(self):
+        e = lexical_question_entities("What was ICICI Bank's net profit in Q1 FY2024?")
+        names = {(x["name"], x["type"]) for x in e}
+        assert ("Q1_FY2024", "Quarter") in names
+        assert ("NET PROFIT", "Metric") in names
+
+    def test_comparative_all_segments(self):
+        e = lexical_question_entities("Which business segment drove growth in Q3?")
+        segs = [x for x in e if x["type"] == "Segment"]
+        assert len(segs) == 5
+
+    def test_trend_all_quarters(self):
+        e = lexical_question_entities("How did treasury margins evolve across quarters?")
+        quarters = [x for x in e if x["type"] == "Quarter"]
+        assert len(quarters) == 4
+        assert ("TREASURY SEGMENT", "Segment") in {(x["name"], x["type"]) for x in e}
+
+    def test_eps_ratio(self):
+        e = lexical_question_entities("What was the Basic EPS for Q3 FY2024?")
+        assert ("Basic EPS", "Ratio") in {(x["name"], x["type"]) for x in e}
+
+
+class TestStrategies:
+    def test_segment_multi_quarter(self, graph):
+        out = strategy_search(graph, "Compare retail banking revenue in Q1 and Q2")
+        assert out["strategy"] == "segment_multi_quarter"
+        assert {r["quarter"] for r in out["results"]} == {"Q1_FY2024", "Q2_FY2024"}
+
+    def test_metric_multi_quarter(self, graph):
+        out = strategy_search(graph, "How did net profit change from Q1 to Q4 FY2024?")
+        assert out["strategy"] in ("metric_multi_quarter",)
+        quarters = [r["quarter"] for r in out["results"] if "metric_name" in r]
+        assert "Q1_FY2024" in quarters and "Q4_FY2024" in quarters
+
+    def test_single_quarter_deep_dive(self, graph):
+        out = strategy_search(graph, "Tell me about Q2 FY2024 performance highlights")
+        assert out["strategy"] == "single_quarter_deep_dive"
+        assert out["results"]
+
+    def test_segment_all_quarters(self, graph):
+        out = strategy_search(graph, "How is the treasury business doing?")
+        assert out["strategy"] == "segment_all_quarters"
+        assert [r["quarter"] for r in out["results"]] == [
+            "Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024",
+        ]
+
+    def test_metric_trend(self, graph):
+        out = strategy_search(graph, "Show the trend of provisions")
+        assert out["strategy"] in ("metric_trend", "metric_multi_quarter")
+        assert len(out["results"]) == 4
+
+    def test_results_capped_at_30(self, graph):
+        out = strategy_search(graph, "Tell me about Q1 FY2024 all metrics segments", limit=30)
+        assert len(out["results"]) <= 30
+
+
+class TestGraphBuilder:
+    def test_build_rule_based(self, corpus_chunks):
+        builder = GraphBuilder()
+        chunks = [c.to_financial_chunk() for c in corpus_chunks]
+        result = asyncio.run(builder.build(chunks, dataset_id="t1"))
+        assert result["chunks_processed"] == 16
+        assert result["chunks_failed"] == 0
+        assert result["total_entities_created"] > 100
+
+    def test_build_accounts_failures(self):
+        builder = GraphBuilder()
+        bad = {"id": "weird", "period": "Q1_FY2024", "type": "x", "size": 10, "text": "irrelevant text"}
+        result = asyncio.run(builder.build([bad]))
+        assert result["chunks_failed"] == 1
+        assert result["failed_chunk_ids"] == ["weird"]
+
+    def test_build_structured_path(self):
+        builder = GraphBuilder()
+        structured = {
+            "id": "s1",
+            "company": "ICICI Bank Ltd",
+            "periods": {"yearEnded": {"march2024": {}}},
+            "financialResults": {"income": {"totalIncome": {"march2024": 100.0}}},
+        }
+        result = asyncio.run(builder.build([structured]))
+        assert result["chunks_processed"] == 1
+
+    def test_build_from_vector_index(self, corpus_chunks):
+        idx = DeviceVectorIndex.build(corpus_chunks)
+        builder = GraphBuilder()
+        result = builder.build_from_vector_index(idx)
+        assert result["chunks_processed"] == 16
+
+
+class TestQueryEngine:
+    def test_llm_plan_path(self, graph):
+        plan = json.dumps({"quarters": ["Q1_FY2024"], "names": ["NET PROFIT"], "types": ["metrics"], "limit": 5})
+        engine = GraphQueryEngine(graph, FakeProvider(responder=lambda p: plan))
+        out = asyncio.run(engine.query("What was net profit in Q1?"))
+        assert out["results"][0]["value"] == 10636
+        assert not out["fallback"]
+
+    def test_invalid_plan_falls_back(self, graph):
+        engine = GraphQueryEngine(graph, FakeProvider(responder=lambda p: "DROP TABLE"))
+        out = asyncio.run(engine.query("What was net profit in Q1?"))
+        assert out["results"]  # lexical fallback still answers
+
+    def test_no_provider_uses_lexical(self, graph):
+        engine = GraphQueryEngine(graph, None)
+        out = asyncio.run(engine.query("net profit trend across quarters"))
+        assert len(out["results"]) >= 4
+
+
+class TestHybrid:
+    @pytest.fixture(scope="class")
+    def hybrid(self, corpus_chunks, graph):
+        idx = DeviceVectorIndex.build(corpus_chunks)
+        return HybridRAG(idx, graph)
+
+    def test_hybrid_query(self, hybrid):
+        out = hybrid.hybrid_query_simple("How did ICICI's net profit change from Q1 to Q4 FY2024?")
+        assert out["chunks"]
+        ids = [c["id"] for c in out["chunks"]]
+        assert len(ids) == len(set(ids))  # dedup
+        assert out["graph_strategy"] == "metric_multi_quarter"
+        sources = {c["source"] for c in out["chunks"]}
+        assert "vector" in sources
+
+    def test_graph_hits_scored_one(self, hybrid):
+        out = hybrid.hybrid_query_simple("retail banking revenue in Q2", vector_k=2)
+        graph_chunks = [c for c in out["chunks"] if c["source"] == "graph"]
+        for c in graph_chunks:
+            assert c["score"] == 1.0
+
+    def test_vector_first_ordering(self, hybrid):
+        out = hybrid.hybrid_query_simple("net profit Q1", vector_k=3)
+        sources = [c["source"] for c in out["chunks"]]
+        if "graph" in sources and "vector" in sources:
+            assert sources.index("graph") > max(i for i, s in enumerate(sources) if s == "vector")

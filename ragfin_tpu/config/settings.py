@@ -1,0 +1,125 @@
+"""Environment-driven configuration (C16).
+
+Behavior parity with the reference's two config variants
+(``graph_rag_mcp/config/settings.py:10-92`` dataclass+getenv and
+``FinRag_knowledge_graph/shared/config.py:16-44`` pydantic-settings),
+implemented once: ``.env`` loading, cached singleton with ``cache_clear``-
+based runtime model switching, per-model API-key lookup, model-dependent
+timeouts (doubled for local llama), and a ``validate()`` that returns a list
+of issues instead of raising.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Optional
+
+from .constants import PORTS, SUPPORTED_MODELS
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader (no python-dotenv dependency)."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            os.environ.setdefault(key.strip(), value.strip().strip("'\""))
+
+
+@dataclass
+class Settings:
+    # Model / provider
+    default_model: str = "fake"
+    gemini_api_key: Optional[str] = None
+    openai_api_key: Optional[str] = None
+    groq_api_key: Optional[str] = None
+    ollama_base_url: str = "http://localhost:11434"
+
+    # Data locations
+    data_dir: str = "extract_data"
+    chunks_snapshot: Optional[str] = None
+    index_dir: str = ".ragfin_index"
+
+    # Retrieval
+    default_top_k: int = 3
+    collection_name: str = "fin_chunks"
+    embed_backend: str = "hashed"  # "hashed" | "minilm"
+    minilm_checkpoint: Optional[str] = None
+    topk_method: str = "auto"  # "auto" | "dense" | "blocked" | "fused"
+    index_dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # Serving ports (reference registry, SURVEY.md §5)
+    ports: dict = field(default_factory=lambda: dict(PORTS))
+
+    # Timeouts
+    base_timeout_s: float = 30.0
+
+    def get_api_key_for_model(self, model_name: str) -> Optional[str]:
+        """Per-provider key lookup (reference settings.py:58-69)."""
+        if "gemini" in model_name:
+            return self.gemini_api_key
+        if "gpt" in model_name:
+            return self.openai_api_key
+        if "llama" in model_name or "groq" in model_name:
+            return self.groq_api_key
+        return None
+
+    def get_timeout_for_model(self, model_name: str) -> float:
+        """Model-dependent timeouts: 2x for local llama (reference :37-56)."""
+        if "llama" in model_name and not self.groq_api_key:
+            return self.base_timeout_s * 2
+        return self.base_timeout_s
+
+    def validate(self) -> list[str]:
+        """Return configuration issues as warnings (reference :71-87)."""
+        issues = []
+        if self.default_model not in SUPPORTED_MODELS:
+            issues.append(f"unknown default_model '{self.default_model}'")
+        if self.default_model != "fake" and not self.get_api_key_for_model(self.default_model):
+            issues.append(f"no API key configured for '{self.default_model}'")
+        if self.default_top_k < 1:
+            issues.append("default_top_k must be >= 1")
+        if self.embed_backend not in ("hashed", "minilm"):
+            issues.append(f"unknown embed_backend '{self.embed_backend}'")
+        if self.embed_backend == "minilm" and not self.minilm_checkpoint:
+            issues.append("embed_backend=minilm without minilm_checkpoint (random init)")
+        return issues
+
+
+def _from_env() -> Settings:
+    load_dotenv()
+    env = os.environ
+    return Settings(
+        default_model=env.get("RAGFIN_MODEL", env.get("DEFAULT_MODEL", "fake")),
+        gemini_api_key=env.get("GEMINI_API_KEY") or env.get("GOOGLE_API_KEY"),
+        openai_api_key=env.get("OPENAI_API_KEY"),
+        groq_api_key=env.get("GROQ_API_KEY"),
+        ollama_base_url=env.get("OLLAMA_BASE_URL", "http://localhost:11434"),
+        data_dir=env.get("RAGFIN_DATA_DIR", "extract_data"),
+        chunks_snapshot=env.get("RAGFIN_CHUNKS_SNAPSHOT"),
+        index_dir=env.get("RAGFIN_INDEX_DIR", ".ragfin_index"),
+        default_top_k=int(env.get("RAGFIN_TOP_K", "3")),
+        embed_backend=env.get("RAGFIN_EMBED_BACKEND", "hashed"),
+        minilm_checkpoint=env.get("RAGFIN_MINILM_CHECKPOINT"),
+        topk_method=env.get("RAGFIN_TOPK_METHOD", "auto"),
+        index_dtype=env.get("RAGFIN_INDEX_DTYPE", "float32"),
+        base_timeout_s=float(env.get("RAGFIN_TIMEOUT_S", "30")),
+    )
+
+
+@lru_cache(maxsize=1)
+def get_config() -> Settings:
+    return _from_env()
+
+
+def switch_default_model(model_name: str) -> Settings:
+    """Runtime model switch via env + cache clear (reference shared/config.py:59-64)."""
+    os.environ["RAGFIN_MODEL"] = model_name
+    get_config.cache_clear()
+    return get_config()

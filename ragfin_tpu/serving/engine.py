@@ -1,0 +1,108 @@
+"""The single retrieval engine behind every API frontend.
+
+The reference spreads its capability across three duplicated KG stacks and
+two vector services (SURVEY.md §1 duplication note). Here one engine owns the
+device indexes and every frontend — REST (:mod:`ragfin_tpu.serving.rest`),
+MCP (:mod:`ragfin_tpu.serving.mcp`), adapters — wraps it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from ..config.settings import Settings, get_config
+from ..data.loader import build_corpus, load_chunk_snapshot
+from ..extraction.service import EntityExtractor, RuleBasedExtractor
+from ..index.graph_index import GraphIndex
+from ..index.vector_index import DeviceVectorIndex
+from ..llm.providers import LLMProvider, ModelFactory
+from ..retrieval.graph_rag import GraphBuilder
+from ..retrieval.hybrid import HybridRAG
+from ..retrieval.vector_rag import VectorRAG
+
+
+class RagFinEngine:
+    """Vector index + graph store + RAG frontends, built from Settings."""
+
+    def __init__(self, settings: Optional[Settings] = None, chunks=None, provider: Optional[LLMProvider] = None):
+        self.settings = settings or get_config()
+        self.provider = provider if provider is not None else self._make_provider()
+        self.chunks = chunks if chunks is not None else self._load_chunks()
+        self.vector_index = self._build_or_load_index()
+        self.graph = GraphIndex()
+        extractor = (
+            EntityExtractor(self.settings.default_model, self.settings.get_api_key_for_model(self.settings.default_model))
+            if self.provider is not None and self.settings.default_model != "fake"
+            else RuleBasedExtractor()
+        )
+        self.graph_builder = GraphBuilder(self.graph, extractor=extractor, provider=self.provider)
+        self.vector_rag = VectorRAG(self.vector_index, self.provider)
+        self.hybrid = HybridRAG(self.vector_index, self.graph, self.provider)
+
+    # --- construction -----------------------------------------------------
+    def _make_provider(self) -> Optional[LLMProvider]:
+        model = self.settings.default_model
+        if model == "fake":
+            return None  # offline: deterministic paths only
+        try:
+            return ModelFactory.create_provider(model, self.settings.get_api_key_for_model(model))
+        except Exception:
+            return None
+
+    def _load_chunks(self):
+        if self.settings.chunks_snapshot and os.path.exists(self.settings.chunks_snapshot):
+            return load_chunk_snapshot(self.settings.chunks_snapshot)
+        if os.path.isdir(self.settings.data_dir):
+            chunks = build_corpus(self.settings.data_dir)
+            if chunks:
+                return chunks
+        # Last resort: the reference data mount, if present.
+        for candidate in ("/root/reference/extract_data",):
+            if os.path.isdir(candidate):
+                return build_corpus(candidate)
+        return []
+
+    def _build_or_load_index(self) -> DeviceVectorIndex:
+        index_dir = self.settings.index_dir
+        if index_dir and os.path.exists(os.path.join(index_dir, "index.json")):
+            try:
+                return DeviceVectorIndex.load(index_dir)
+            except Exception:
+                pass
+        index = DeviceVectorIndex.build(self.chunks, batch_size=1024)
+        return index
+
+    def persist(self) -> None:
+        if self.settings.index_dir:
+            self.vector_index.save(self.settings.index_dir)
+            self.graph.save(os.path.join(self.settings.index_dir, "graph"))
+
+    # --- health (deep checks, reference health_tools.py:19-106) ----------
+    def health(self) -> dict:
+        issues = self.settings.validate()
+        return {
+            "status": "healthy" if self.vector_index.n > 0 else "degraded",
+            "vector_index": {"entities": self.vector_index.n, "dim": self.vector_index.dim},
+            "graph": {"facts": self.graph.stats().get("total_facts", 0)},
+            "provider": getattr(self.provider, "model_name", None) or "offline",
+            "extraction_model": self.graph_builder.current_model,
+            "config_issues": issues,
+        }
+
+
+_engine: Optional[RagFinEngine] = None
+
+
+def get_engine(**kwargs) -> RagFinEngine:
+    """Process-wide engine singleton (module-singleton parity with
+    vector_rag_mcp/main.py:126)."""
+    global _engine
+    if _engine is None:
+        _engine = RagFinEngine(**kwargs)
+    return _engine
+
+
+def reset_engine() -> None:
+    global _engine
+    _engine = None

@@ -1,0 +1,163 @@
+"""Minimal threaded JSON HTTP server (stdlib only).
+
+The reference serves over FastAPI + uvicorn; neither is installed in this
+image, so the serving layer runs on ``http.server.ThreadingHTTPServer`` with
+a small JSON routing shim. Handlers receive a :class:`Request` and return a
+dict (→ 200 JSON), a ``(status, dict)`` tuple, or a :class:`Response` for
+full control (used by the MCP server's SSE responses).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qs, urlparse
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    params: dict[str, str]
+    query: dict[str, str]
+    json: Any
+    headers: dict[str, str]
+
+
+@dataclass
+class Response:
+    status: int = 200
+    body: bytes = b""
+    content_type: str = "application/json"
+    headers: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def json(cls, payload: Any, status: int = 200, headers: Optional[dict] = None) -> "Response":
+        return cls(status, json.dumps(payload, ensure_ascii=False).encode(), "application/json", headers or {})
+
+    @classmethod
+    def sse(cls, payload: Any, status: int = 200, headers: Optional[dict] = None) -> "Response":
+        data = json.dumps(payload, ensure_ascii=False)
+        return cls(status, f"event: message\ndata: {data}\n\n".encode(), "text/event-stream", headers or {})
+
+
+Handler = Callable[[Request], Any]
+
+
+class JsonApp:
+    """Route table: method + path pattern with ``{param}`` captures."""
+
+    def __init__(self, name: str = "app"):
+        self.name = name
+        self.routes: list[tuple[str, re.Pattern, Handler]] = []
+
+    def route(self, method: str, pattern: str):
+        regex = re.compile(
+            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
+        )
+
+        def register(fn: Handler) -> Handler:
+            self.routes.append((method.upper(), regex, fn))
+            return fn
+
+        return register
+
+    def get(self, pattern: str):
+        return self.route("GET", pattern)
+
+    def post(self, pattern: str):
+        return self.route("POST", pattern)
+
+    def delete(self, pattern: str):
+        return self.route("DELETE", pattern)
+
+    def dispatch(self, request: Request) -> Response:
+        for method, regex, fn in self.routes:
+            if method != request.method:
+                continue
+            m = regex.match(request.path)
+            if not m:
+                continue
+            request.params = m.groupdict()
+            try:
+                out = fn(request)
+            except HTTPError as e:
+                return Response.json({"error": e.detail}, e.status)
+            except Exception as e:  # failure-to-status at every boundary
+                return Response.json({"error": str(e)}, 500)
+            if isinstance(out, Response):
+                return out
+            if isinstance(out, tuple):
+                return Response.json(out[1], out[0])
+            return Response.json(out)
+        return Response.json({"error": f"no route for {request.method} {request.path}"}, 404)
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+def _make_handler(app: JsonApp):
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _handle(self):
+            parsed = urlparse(self.path)
+            query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            length = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(length) if length else b""
+            try:
+                body = json.loads(raw) if raw else None
+            except json.JSONDecodeError:
+                body = None
+            request = Request(
+                method=self.command,
+                path=parsed.path,
+                params={},
+                query=query,
+                json=body,
+                headers={k.lower(): v for k, v in self.headers.items()},
+            )
+            response = app.dispatch(request)
+            self.send_response(response.status)
+            self.send_header("Content-Type", response.content_type)
+            self.send_header("Content-Length", str(len(response.body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            for key, value in response.headers.items():
+                self.send_header(key, value)
+            self.end_headers()
+            self.wfile.write(response.body)
+
+        do_GET = do_POST = do_DELETE = do_PUT = _handle
+
+    return _Handler
+
+
+class AppServer:
+    """Threaded server wrapper with background start/stop (for tests too)."""
+
+    def __init__(self, app: JsonApp, host: str = "127.0.0.1", port: int = 0):
+        self.app = app
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(app))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self) -> "AppServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

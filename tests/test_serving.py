@@ -1,0 +1,188 @@
+"""End-to-end serving tests: REST services, MCP protocol, adapter bridges.
+
+Replaces the reference's manual inspection scripts (``test_vector.py``,
+``adapters/test_mcp.py``) with automated assertions over live servers on
+ephemeral ports.
+"""
+
+import json
+
+import httpx
+import pytest
+
+from ragfin_tpu.config.settings import Settings
+from ragfin_tpu.serving.engine import RagFinEngine
+from ragfin_tpu.serving.httpd import AppServer
+from ragfin_tpu.serving.mcp import build_graph_mcp, build_vector_mcp
+from ragfin_tpu.serving.mcp_client import MCPClient
+from ragfin_tpu.serving.rest import (
+    build_entity_app,
+    build_graph_adapter,
+    build_graph_app,
+    build_vector_adapter,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(reference_root):
+    import os
+
+    settings = Settings(
+        default_model="fake",
+        data_dir=os.path.join(reference_root, "extract_data"),
+        index_dir="",  # no persistence side effects in tests
+    )
+    eng = RagFinEngine(settings)
+    # Populate the graph so query endpoints have data.
+    eng.graph_builder.build_from_vector_index(eng.vector_index)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def servers(engine):
+    started = {
+        "entity": AppServer(build_entity_app(engine)).start_background(),
+        "graph": AppServer(build_graph_app(engine)).start_background(),
+        "vector_mcp": AppServer(build_vector_mcp(engine).app).start_background(),
+        "graph_mcp": AppServer(build_graph_mcp(engine, monolith=True).app).start_background(),
+    }
+    started["vector_adapter"] = AppServer(
+        build_vector_adapter(f"http://127.0.0.1:{started['vector_mcp'].port}")
+    ).start_background()
+    started["graph_adapter"] = AppServer(
+        build_graph_adapter(f"http://127.0.0.1:{started['graph_mcp'].port}")
+    ).start_background()
+    yield {k: f"http://127.0.0.1:{v.port}" for k, v in started.items()}
+    for server in started.values():
+        server.stop()
+
+
+class TestEntityService:
+    def test_extract(self, servers, engine):
+        chunk_text = engine.chunks[0].text
+        r = httpx.post(f"{servers['entity']}/api/v1/extract", json={"text": chunk_text, "period": "Q1_FY2024"})
+        assert r.status_code == 200
+        data = r.json()
+        assert data["success"] and data["entity_count"] > 0
+
+    def test_extract_invalid_422(self, servers):
+        r = httpx.post(f"{servers['entity']}/api/v1/extract", json={"id": "x"})
+        assert r.status_code == 422
+
+    def test_models_and_switch(self, servers):
+        r = httpx.get(f"{servers['entity']}/api/v1/models")
+        assert "rule-based" in r.json()["models"]
+        r = httpx.post(f"{servers['entity']}/api/v1/model/switch", json={"model": "rule-based"})
+        assert r.json()["success"]
+        r = httpx.post(f"{servers['entity']}/api/v1/model/switch", json={"model": "nonexistent"})
+        assert r.status_code == 400
+
+    def test_health(self, servers):
+        r = httpx.get(f"{servers['entity']}/health")
+        assert r.json()["status"] == "healthy"
+
+
+class TestGraphService:
+    def test_query(self, servers):
+        r = httpx.post(
+            f"{servers['graph']}/api/v1/query",
+            json={"question": "What was net profit in Q1 FY2024?", "limit": 5},
+        )
+        data = r.json()
+        assert data["success"] and data["result_count"] >= 1
+        assert data["execution_time_ms"] > 0
+
+    def test_query_validation(self, servers):
+        r = httpx.post(f"{servers['graph']}/api/v1/query", json={"question": "hi"})
+        assert r.status_code == 422
+
+    def test_stats(self, servers):
+        r = httpx.get(f"{servers['graph']}/api/v1/stats")
+        assert r.json()["Quarter_count"] == 4
+
+    def test_build_and_clear(self, servers, engine):
+        chunk = engine.chunks[0]
+        payload = {
+            "chunks": [
+                {"id": "tmp1", "period": chunk.period, "type": chunk.chunk_type,
+                 "size": len(chunk.text), "text": chunk.text}
+            ],
+            "dataset_id": "tmp_ds",
+        }
+        r = httpx.post(f"{servers['graph']}/api/v1/build", json=payload)
+        assert r.json()["chunks_processed"] == 1
+        r = httpx.request("DELETE", f"{servers['graph']}/api/v1/clear/tmp_ds")
+        assert r.json()["success"]
+
+    def test_quick_stats_and_health(self, servers):
+        assert httpx.get(f"{servers['graph']}/quick-stats").json()["total_facts"] > 0
+        assert httpx.get(f"{servers['graph']}/health").json()["status"] == "healthy"
+
+
+class TestMCPProtocol:
+    def test_initialize_handshake(self, servers):
+        client = MCPClient(servers["vector_mcp"])
+        info = client.initialize()
+        assert client.session_id
+        assert info["serverInfo"]["name"] == "vector-rag-tpu"
+
+    def test_list_tools(self, servers):
+        tools = {t["name"] for t in MCPClient(servers["vector_mcp"]).list_tools()}
+        assert {"health_check", "search_vectors", "answer_question", "get_collection_stats"} <= tools
+
+    def test_search_vectors_tool(self, servers):
+        out = MCPClient(servers["vector_mcp"]).call_tool(
+            "search_vectors", {"query": "net profit Q1 FY2024", "top_k": 3}
+        )
+        assert out["success"]
+        assert out["results"][0]["id"] == "icici_q1_fy2024_profitability_analysis"
+
+    def test_answer_question_tool(self, servers):
+        out = MCPClient(servers["vector_mcp"]).call_tool(
+            "answer_question", {"question": "What was ICICI net profit in Q1 FY2024?"}
+        )
+        assert out["success"] and "10,636" in out["answer"]
+
+    def test_graph_tools(self, servers):
+        client = MCPClient(servers["graph_mcp"])
+        tools = {t["name"] for t in client.list_tools()}
+        assert {
+            "build_financial_graph", "query_financial_graph", "get_graph_stats",
+            "clear_graph_data", "extract_financial_entities", "generate_cypher_query",
+            "traverse_entity_relationships", "compare_quarters",
+        } <= tools
+        out = client.call_tool("query_financial_graph", {"question": "net profit trend across quarters"})
+        assert out["success"] and out["result_count"] >= 4
+
+    def test_compare_quarters(self, servers):
+        out = MCPClient(servers["graph_mcp"]).call_tool(
+            "compare_quarters", {"quarter1": "Q1_FY2024", "quarter2": "Q4_FY2024"}
+        )
+        assert out["success"]
+        assert "NET PROFIT" in out["metrics"]
+        assert out["metrics"]["NET PROFIT"]["growth_pct"] != 0
+
+    def test_unknown_tool_error(self, servers):
+        with pytest.raises(Exception):
+            MCPClient(servers["vector_mcp"]).call_tool("does_not_exist")
+
+
+class TestAdapters:
+    def test_vector_adapter_search(self, servers):
+        r = httpx.post(f"{servers['vector_adapter']}/search", json={"query": "treasury Q3", "top_k": 2})
+        data = r.json()
+        assert data["success"] and len(data["results"]) == 2
+
+    def test_vector_adapter_answer_and_stats(self, servers):
+        r = httpx.post(f"{servers['vector_adapter']}/answer", json={"question": "What was the EPS for Q4 FY2024?"})
+        assert r.json()["success"]
+        r = httpx.get(f"{servers['vector_adapter']}/stats")
+        assert r.json()["num_entities"] == 16
+
+    def test_graph_adapter_flow(self, servers):
+        r = httpx.post(f"{servers['graph_adapter']}/query", json={"question": "retail banking across quarters"})
+        assert r.json()["success"]
+        r = httpx.get(f"{servers['graph_adapter']}/stats")
+        assert r.json()["Quarter_count"] == 4
+        r = httpx.get(f"{servers['graph_adapter']}/health")
+        assert r.json()["status"] == "healthy"

@@ -82,18 +82,46 @@ class HashedFeaturizer:
         return counts
 
     def fit(self, texts: Iterable[str]) -> "HashedFeaturizer":
-        """Fit IDF statistics over a corpus (smooth idf, like sklearn)."""
+        """Fit IDF statistics over a corpus (smooth idf, like sklearn).
+
+        Uses the native batch featurizer (native/fasthash.cpp) when built —
+        the host-side hot loop at million-chunk corpus scale."""
+        texts = list(texts)
         df: Counter = Counter()
-        n = 0
-        for text in texts:
-            n += 1
-            for fid in self.feature_ids(text):
-                df[fid] += 1
+        native = self._native_batch(texts)
+        if native is not None:
+            ids, _tf, lens = native
+            for row, length in enumerate(lens):
+                for fid in ids[row, :length]:
+                    df[int(fid)] += 1
+        else:
+            for text in texts:
+                for fid in self.feature_ids(text):
+                    df[fid] += 1
+        n = len(texts)
         self.n_docs = n
         self.idf = {
             fid: math.log((1 + n) / (1 + d)) + 1.0 for fid, d in df.items()
         }
+        self._idf_arr = None
         return self
+
+    def _native_batch(self, texts):
+        from . import fasthash
+
+        if not fasthash.available():
+            return None
+        return fasthash.featurize_batch(texts, self.vocab_size, self.bigram_weight)
+
+    def _idf_array(self) -> np.ndarray:
+        """Dense IDF lookup (0 = OOV → dropped) for vectorized weighting."""
+        arr = getattr(self, "_idf_arr", None)
+        if arr is None:
+            arr = np.zeros((self.vocab_size,), np.float32)
+            for fid, v in self.idf.items():
+                arr[fid] = v
+            self._idf_arr = arr
+        return arr
 
     def weigh(self, counts: Counter) -> dict[int, float]:
         """TF-IDF weights. Corpus-unseen features are dropped once IDF is
@@ -126,6 +154,24 @@ class HashedFeaturizer:
         (static-shape friendly for jit caching); padding uses id 0 with weight
         0 so padded entries contribute nothing to the bag sum.
         """
+        native = self._native_batch(list(texts))
+        if native is not None:
+            raw_ids, raw_tf, lens = native
+            max_len = max(int(lens.max()) if len(lens) else 1, 1)
+            length = pad_to or max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
+            ids = np.zeros((len(texts), length), np.int32)
+            tf = np.zeros((len(texts), length), np.float32)
+            take = min(length, raw_ids.shape[1])
+            col_mask = np.arange(take)[None, :] < lens[:, None]
+            ids[:, :take] = np.where(col_mask, raw_ids[:, :take], 0)
+            tf[:, :take] = np.where(col_mask, raw_tf[:, :take], 0.0)
+            wts = np.where(tf > 0, 1.0 + np.log(np.maximum(tf, 1e-9)), 0.0) if self.sublinear_tf else tf
+            if self.n_docs:
+                idf = self._idf_array()[ids]
+                wts = wts * idf if self.drop_oov else wts * np.where(idf > 0, idf, math.log(1 + self.n_docs) + 1.0)
+            wts = np.where(tf > 0, wts, 0.0).astype(np.float32)
+            return ids, wts
+
         weighted = [self.weigh(self.feature_ids(t)) for t in texts]
         max_len = max((len(w) for w in weighted), default=1)
         length = pad_to or max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)

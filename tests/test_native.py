@@ -1,0 +1,64 @@
+"""Native featurizer (C++ fasthash) parity tests against the Python path."""
+
+import numpy as np
+import pytest
+
+from ragfin_tpu.models import fasthash
+from ragfin_tpu.models.featurizer import HashedFeaturizer
+
+pytestmark = pytest.mark.skipif(not fasthash.available(), reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(reference_root):
+    import os
+
+    from ragfin_tpu.data.loader import build_corpus
+
+    return [c.text for c in build_corpus(os.path.join(reference_root, "extract_data"))]
+
+
+class TestNativeParity:
+    def test_feature_ids_match_python(self, corpus_texts):
+        f = HashedFeaturizer()
+        ids, tf, lens = fasthash.featurize_batch(corpus_texts, f.vocab_size, f.bigram_weight)
+        for row, text in enumerate(corpus_texts):
+            native = {int(i): float(v) for i, v in zip(ids[row, : lens[row]], tf[row, : lens[row]])}
+            python = {int(k): float(v) for k, v in f.feature_ids(text).items()}
+            assert native == python, f"mismatch on text {row}"
+
+    def test_numbers_and_commas(self):
+        f = HashedFeaturizer()
+        texts = ["NET PROFIT: ₹10,636 crore (+44.0% YoY growth)", "1,234,567.89 and 5"]
+        ids, tf, lens = fasthash.featurize_batch(texts, f.vocab_size, f.bigram_weight)
+        for row, text in enumerate(texts):
+            native = {int(i): float(v) for i, v in zip(ids[row, : lens[row]], tf[row, : lens[row]])}
+            python = {int(k): float(v) for k, v in f.feature_ids(text).items()}
+            assert native == python
+
+    def test_encode_batch_embeddings_match(self, corpus_texts):
+        """Index built through the native path must equal the Python path."""
+        from ragfin_tpu.models.bag_encoder import BagEncoder
+
+        f_native = HashedFeaturizer().fit(corpus_texts)
+        ids_n, wts_n = f_native.encode_batch(corpus_texts)
+
+        # Force the Python path by monkeypatching availability.
+        f_py = HashedFeaturizer()
+        f_py._native_batch = lambda texts: None
+        f_py.fit(corpus_texts)
+        ids_p, wts_p = f_py.encode_batch(corpus_texts)
+
+        enc = BagEncoder()
+        emb_n = np.asarray(enc.encode(ids_n, wts_n))
+        emb_p = np.asarray(enc.encode(ids_p, wts_p))
+        np.testing.assert_allclose(emb_n, emb_p, atol=1e-5)
+
+    def test_empty_and_unicode(self):
+        f = HashedFeaturizer()
+        out = fasthash.featurize_batch(["", "αβγ δ", "plain ascii"], f.vocab_size, f.bigram_weight)
+        ids, tf, lens = out
+        assert lens[0] == 0
+        python = {int(k): float(v) for k, v in f.feature_ids("plain ascii").items()}
+        native = {int(i): float(v) for i, v in zip(ids[2, : lens[2]], tf[2, : lens[2]])}
+        assert native == python

@@ -1,0 +1,173 @@
+"""Command-line interface: build, query, evaluate, serve, extract.
+
+Replaces the reference's script-per-task workflow (``chunking_storing``
+module script, ``retrieve.py`` interactive main, ``graphretrieve.py`` smoke
+runs, ``multi_bank_extractor`` batch loop) with one CLI:
+
+    python -m ragfin_tpu.cli chunk        --data extract_data --out chunks.json
+    python -m ragfin_tpu.cli build-index  --data extract_data --out .ragfin_index
+    python -m ragfin_tpu.cli query        "net profit in Q1 FY2024?" --mode hybrid
+    python -m ragfin_tpu.cli eval         --dataset qa --k 10 --summary out.json
+    python -m ragfin_tpu.cli extract-pdf  path/to/report.pdf
+    python -m ragfin_tpu.cli serve        --model fake
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+
+
+def cmd_chunk(args) -> int:
+    from .data.loader import build_corpus, save_chunk_snapshot
+
+    chunks = build_corpus(args.data)
+    save_chunk_snapshot(chunks, args.out)
+    print(f"wrote {len(chunks)} chunks to {args.out}")
+    return 0
+
+
+def cmd_build_index(args) -> int:
+    from .data.loader import build_corpus
+    from .index.vector_index import DeviceVectorIndex
+    from .extraction.service import rule_based_extract
+    from .index.graph_index import GraphIndex
+    import os
+
+    chunks = build_corpus(args.data)
+    index = DeviceVectorIndex.build(chunks)
+    index.save(args.out)
+    graph = GraphIndex()
+    for c in chunks:
+        graph.save_entities(rule_based_extract(c.text), c.id)
+    graph.save(os.path.join(args.out, "graph"))
+    print(json.dumps({"chunks": len(chunks), **index.stats(), "graph_facts": graph.stats()["total_facts"]}, default=str))
+    return 0
+
+
+def _engine(args):
+    from .config.settings import Settings
+    from .serving.engine import RagFinEngine
+
+    settings = Settings(
+        default_model=getattr(args, "model", "fake") or "fake",
+        data_dir=getattr(args, "data", "extract_data"),
+        index_dir=getattr(args, "index", ".ragfin_index"),
+    )
+    return RagFinEngine(settings)
+
+
+def cmd_query(args) -> int:
+    engine = _engine(args)
+    if args.mode in ("graph", "hybrid"):
+        engine.graph_builder.build_from_vector_index(engine.vector_index)
+    if args.mode == "vector":
+        out = asyncio.run(engine.vector_rag.search_and_answer(args.question, args.k))
+    elif args.mode == "graph":
+        out = asyncio.run(engine.graph_builder.query_engine.query(args.question, args.k))
+    else:
+        out = asyncio.run(engine.hybrid.hybrid_query(args.question, vector_k=args.k))
+    print(json.dumps(out, indent=2, ensure_ascii=False, default=str))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .eval.datasets import load_qa_subset, load_vector_eval
+    from .eval.harness import evaluate_retrieval, to_research_summary
+
+    engine = _engine(args)
+    if args.dataset == "qa":
+        questions = load_qa_subset(args.path or "/root/reference/qa_subset.json")
+    else:
+        questions = load_vector_eval(args.path or "/root/reference/vector_rag_evaluation_dataset.json")
+    report = evaluate_retrieval(engine.vector_index, questions, k=args.k)
+    summary = report.summary()
+    print(json.dumps(summary, indent=2))
+    if args.summary:
+        with open(args.summary, "w") as f:
+            json.dump(to_research_summary(report), f, indent=2)
+        print(f"research summary written to {args.summary}", file=sys.stderr)
+    return 0 if summary["retrieval_recall"]["mean"] >= args.min_recall else 1
+
+
+def cmd_extract_pdf(args) -> int:
+    from .data.pdf_extractor import extract_report
+
+    report = extract_report(args.path)
+    if not args.full_text:
+        report.pop("text", None)
+    print(json.dumps(report, indent=2, ensure_ascii=False))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .serving import main as serving_main
+
+    sys.argv = ["serve"] + (["--model", args.model] if args.model else [])
+    serving_main.main()
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    os.environ.setdefault("BENCH_N", str(args.n))
+    runpy.run_module("bench", run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ragfin_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("chunk", help="generate analysis chunks from quarterly JSON")
+    p.add_argument("--data", default="extract_data")
+    p.add_argument("--out", default="chunks.json")
+    p.set_defaults(fn=cmd_chunk)
+
+    p = sub.add_parser("build-index", help="chunk, embed, and persist the device index")
+    p.add_argument("--data", default="extract_data")
+    p.add_argument("--out", default=".ragfin_index")
+    p.set_defaults(fn=cmd_build_index)
+
+    p = sub.add_parser("query", help="answer a question")
+    p.add_argument("question")
+    p.add_argument("--mode", choices=["vector", "graph", "hybrid"], default="vector")
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--model", default="fake")
+    p.add_argument("--data", default="extract_data")
+    p.add_argument("--index", default=".ragfin_index")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("eval", help="run retrieval evaluation")
+    p.add_argument("--dataset", choices=["qa", "vector"], default="qa")
+    p.add_argument("--path", default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--min-recall", type=float, default=0.0)
+    p.add_argument("--summary", default=None, help="write research-summary JSON here")
+    p.add_argument("--data", default="extract_data")
+    p.add_argument("--index", default="")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("extract-pdf", help="extract text + line items from a PDF filing")
+    p.add_argument("path")
+    p.add_argument("--full-text", action="store_true")
+    p.set_defaults(fn=cmd_extract_pdf)
+
+    p = sub.add_parser("serve", help="start the service registry")
+    p.add_argument("--model", default=None)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

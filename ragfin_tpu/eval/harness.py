@@ -83,6 +83,73 @@ def score_retrieval(expected: Sequence[str], retrieved: Sequence[str]) -> tuple[
     return precision, recall, f1
 
 
+def to_research_summary(report: EvalReport, system_type: str = "ragfin_tpu_exact_flat") -> dict:
+    """Emit the reference's research-summary shape
+    (``res_ablation/icici_rag_with_ragas_research_summary.json``): evaluation
+    metadata + retrieval mean/std + per-category and per-difficulty
+    performance + system characteristics. RAGAS answer metrics require an
+    LLM judge and stay empty offline (the reference also left them empty)."""
+    import datetime
+
+    precs = [r.precision for r in report.results]
+    recs = [r.recall for r in report.results]
+    f1s = [r.f1 for r in report.results]
+
+    def mean(vals):
+        return statistics.fmean(vals) if vals else 0.0
+
+    def std(vals):
+        return statistics.pstdev(vals) if len(vals) > 1 else 0.0
+
+    retrieval_metrics = {
+        "precision_mean": mean(precs),
+        "precision_std": std(precs),
+        "recall_mean": mean(recs),
+        "recall_std": std(recs),
+        "f1_mean": mean(f1s),
+        "f1_std": std(f1s),
+    }
+    by_cat: dict[str, list[QuestionResult]] = defaultdict(list)
+    by_diff: dict[str, list[QuestionResult]] = defaultdict(list)
+    for r in report.results:
+        by_cat[r.category or "uncategorized"].append(r)
+        if r.difficulty:
+            by_diff[r.difficulty].append(r)
+
+    def perf(group: dict[str, list[QuestionResult]]) -> dict:
+        return {
+            key: {
+                "count": len(rs),
+                "precision_mean": mean([x.precision for x in rs]),
+                "recall_mean": mean([x.recall for x in rs]),
+                "f1_mean": mean([x.f1 for x in rs]),
+            }
+            for key, rs in sorted(group.items())
+        }
+
+    return {
+        "evaluation_metadata": {
+            "total_questions": len(report.results),
+            "evaluation_date": datetime.datetime.now().isoformat(),
+            "system_type": system_type,
+            "k": report.k,
+        },
+        "retrieval_metrics": retrieval_metrics,
+        "ragas_metrics": {},
+        "research_summary": {
+            "retrieval_metrics": retrieval_metrics,
+            "query_type_performance": perf(by_cat),
+            "difficulty_performance": perf(by_diff),
+            "system_characteristics": {
+                "avg_chunks_retrieved": mean([len(r.retrieved) for r in report.results]),
+                "perfect_retrievals": sum(1 for r in report.results if r.recall == 1.0),
+                "zero_recall_queries": sum(1 for r in report.results if r.recall == 0.0),
+                "mean_latency_ms": mean([r.latency_s for r in report.results]) * 1e3,
+            },
+        },
+    }
+
+
 def evaluate_retrieval(
     index,
     questions: Sequence[EvalQuestion],

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..data.models import IndexedChunk
 from ..models.bag_encoder import l2_normalize
@@ -73,7 +73,7 @@ def sharded_cosine_topk(
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(queries, corpus_t_sharded)
 

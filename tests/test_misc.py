@@ -1,0 +1,92 @@
+"""Checkpoint/resume, fusion op unit tests, graft entry smoke."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+class TestCheckpoint:
+    def test_train_state_roundtrip(self, tmp_path):
+        import optax
+
+        from ragfin_tpu.models.bag_encoder import init_table
+        from ragfin_tpu.models.training import init_train_state
+        from ragfin_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            restore_train_state,
+            save_train_state,
+        )
+
+        opt = optax.adam(1e-3)
+        state = init_train_state(init_table(64, 16, seed=5), opt)
+        path = save_train_state(str(tmp_path), state, step=7)
+        assert latest_checkpoint(str(tmp_path)) == path
+        restored = restore_train_state(path, state)
+        np.testing.assert_allclose(np.asarray(restored.params), np.asarray(state.params))
+        assert int(restored.step) == int(state.step)
+
+    def test_multiple_steps_latest_wins(self, tmp_path):
+        import optax
+
+        from ragfin_tpu.models.bag_encoder import init_table
+        from ragfin_tpu.models.training import init_train_state
+        from ragfin_tpu.utils.checkpoint import latest_checkpoint, save_train_state
+
+        opt = optax.adam(1e-3)
+        state = init_train_state(init_table(16, 8), opt)
+        save_train_state(str(tmp_path), state, step=1)
+        p2 = save_train_state(str(tmp_path), state, step=12)
+        assert latest_checkpoint(str(tmp_path)) == p2
+
+
+class TestFusionOp:
+    def test_vector_first_graph_appended(self):
+        from ragfin_tpu.ops.fusion import fuse_results
+
+        vec = jnp.asarray([[5, 3, 9]], jnp.int32)
+        graph = jnp.asarray([7, 3, 2], jnp.int32)  # 3 is a dup
+        fused, origin = fuse_results(vec, graph, k_out=6)
+        assert list(np.asarray(fused)[0]) == [5, 3, 9, 7, 2, -1]
+        assert list(np.asarray(origin)[0]) == [0, 0, 0, 1, 1, -1]
+
+    def test_padding_ignored(self):
+        from ragfin_tpu.ops.fusion import fuse_results
+
+        vec = jnp.asarray([[4, -1, -1]], jnp.int32)
+        graph = jnp.asarray([-1, 8], jnp.int32)
+        fused, origin = fuse_results(vec, graph, k_out=4)
+        assert list(np.asarray(fused)[0]) == [4, 8, -1, -1]
+
+    def test_multi_query_rows_independent(self):
+        from ragfin_tpu.ops.fusion import fuse_results
+
+        vec = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+        graph = jnp.asarray([2, 3], jnp.int32)
+        fused, _ = fuse_results(vec, graph, k_out=4)
+        assert list(np.asarray(fused)[0]) == [1, 2, 3, -1]
+        assert list(np.asarray(fused)[1]) == [3, 4, 2, -1]
+
+
+class TestGraftEntry:
+    def test_entry_forward(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        import jax
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (8, 384)
+        norms = np.linalg.norm(np.asarray(out), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

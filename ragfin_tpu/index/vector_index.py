@@ -83,7 +83,16 @@ class DeviceVectorIndex:
             embeddings = jnp.pad(embeddings, ((0, pad), (0, 0)))
         # Stored TRANSPOSED [D, N_padded]: the layout the MXU wants for
         # q @ corpus_t, so no search kernel pays a relayout (ops/topk.py).
-        self.matrix_t = jnp.asarray(embeddings.T, dtype=dtype)
+        # dtype "int8" stores a per-chunk absmax-quantized corpus (4x less
+        # HBM traffic, ops/quantize.py) searched by the int8 fused kernel.
+        self.quantized = str(dtype) in ("int8", "jnp.int8") or dtype == jnp.int8
+        if self.quantized:
+            from ..ops.quantize import quantize_corpus_t
+
+            self.matrix_t, self.scales = quantize_corpus_t(jnp.asarray(embeddings.T))
+        else:
+            self.matrix_t = jnp.asarray(embeddings.T, dtype=dtype)
+            self.scales = None
         self.records: list[IndexedChunk] = list(records)
         self._by_id = {r.id: i for i, r in enumerate(self.records)}
         self.name = name
@@ -121,13 +130,12 @@ class DeviceVectorIndex:
     ) -> tuple[jax.Array, jax.Array]:
         """Raw device search: [Q, D] unit queries → (scores, row ids)."""
         k = min(top_k, max(self.n, 1))
-        return cosine_topk(
-            jnp.asarray(query_embeddings, jnp.float32),
-            self.matrix_t,
-            k,
-            n_valid=self.n,
-            method=method,
-        )
+        q = jnp.asarray(query_embeddings, jnp.float32)
+        if self.quantized:
+            from ..ops.topk import cosine_topk_fused_int8
+
+            return cosine_topk_fused_int8(q, self.matrix_t, self.scales, k, n_valid=self.n)
+        return cosine_topk(q, self.matrix_t, k, n_valid=self.n, method=method)
 
     def search_texts(
         self, queries: Sequence[str], top_k: int = 3, method: str = "auto"
@@ -182,9 +190,13 @@ class DeviceVectorIndex:
     # --- persistence ------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
+        if self.quantized:
+            dense = (self.matrix_t.astype(jnp.float32) * self.scales)[:, : self.n].T
+        else:
+            dense = self.matrix_t[:, : self.n].T
         np.savez_compressed(
             os.path.join(directory, "matrix.npz"),
-            matrix=np.asarray(self.matrix_t[:, : self.n].T, np.float32),
+            matrix=np.asarray(dense, np.float32),
         )
         meta = {
             "name": self.name,

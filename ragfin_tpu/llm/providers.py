@@ -46,10 +46,17 @@ class RateLimiter:
 
 
 class LLMProvider(ABC):
-    def __init__(self, model_name: str, api_key: Optional[str] = None, rate_limit: float = 1.0):
+    def __init__(
+        self,
+        model_name: str,
+        api_key: Optional[str] = None,
+        rate_limit: float = 1.0,
+        timeout: float = 60.0,
+    ):
         self.model_name = model_name
         self.api_key = api_key
         self.limiter = RateLimiter(rate_limit)
+        self.timeout = timeout
 
     async def generate_content(self, prompt: str) -> str:
         await self.limiter.wait()
@@ -84,7 +91,7 @@ class GeminiProvider(LLMProvider):
     async def _generate(self, prompt: str) -> str:
         url = f"{self.BASE}/{self.model_name}:generateContent?key={self.api_key}"
         payload = {"contents": [{"parts": [{"text": prompt}]}]}
-        data = await _post_json(url, payload, {"Content-Type": "application/json"})
+        data = await _post_json(url, payload, {"Content-Type": "application/json"}, self.timeout)
         try:
             return data["candidates"][0]["content"]["parts"][0]["text"]
         except (KeyError, IndexError) as e:
@@ -116,7 +123,7 @@ class OpenAIChatProvider(LLMProvider):
             "max_tokens": self.max_tokens,
         }
         headers = {"Authorization": f"Bearer {self.api_key}", "Content-Type": "application/json"}
-        data = await _post_json(f"{self.base_url}/chat/completions", payload, headers)
+        data = await _post_json(f"{self.base_url}/chat/completions", payload, headers, self.timeout)
         try:
             return data["choices"][0]["message"]["content"]
         except (KeyError, IndexError) as e:
@@ -149,7 +156,7 @@ class LlamaProvider(LLMProvider):
         if self.use_groq:
             return await self._groq._generate(prompt)
         payload = {"model": self.model_name, "prompt": prompt, "stream": False}
-        data = await _post_json(f"{self.base_url}/api/generate", payload, {})
+        data = await _post_json(f"{self.base_url}/api/generate", payload, {}, self.timeout)
         return data.get("response", "")
 
 

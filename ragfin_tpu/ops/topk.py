@@ -274,6 +274,128 @@ def cosine_topk_fused(
     )
 
 
+def _fused_kernel_int8(
+    n_valid_ref,
+    q_ref,       # [TQ, D] int8
+    qs_ref,      # [TQ, 1] f32 query scales
+    ct_ref,      # [D, TN] int8
+    cs_ref,      # [1, TN] f32 corpus scales
+    out_s_ref,
+    out_i_ref,
+    acc_s,
+    acc_i,
+    *,
+    k: int,
+    block_n: int,
+):
+    """Int8 variant of the fused kernel: int8×int8 MXU matmul with int32
+    accumulation, dequantized on-chip by per-row/per-column scales."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, _INT_MAX)
+
+    int_scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.int32)
+    scores = int_scores.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    local_ids = j * block_n + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+
+    row_max = jnp.max(scores, axis=-1)
+    improves = jnp.any(row_max > acc_s[:, k - 1])
+
+    @pl.when(improves)
+    def _merge():
+        tile_s, tile_i = _topk_extract(scores, local_ids, min(k, block_n))
+        cat_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
+        cat_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
+        new_s, new_i = _topk_extract(cat_s, cat_i, k)
+        acc_s[:] = new_s
+        acc_i[:] = new_i
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_valid", "block_q", "block_n", "interpret")
+)
+def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret):
+    from .quantize import quantize_queries
+
+    q, d = queries.shape
+    n = corpus_i8.shape[1]
+    limit = min(n_valid, n) if n_valid is not None else n
+
+    q8, qscale = quantize_queries(queries)
+    pad_q = -q % block_q
+    pad_n = -n % block_n
+    if pad_q:
+        q8 = jnp.pad(q8, ((0, pad_q), (0, 0)))
+        qscale = jnp.pad(qscale, ((0, pad_q), (0, 0)))
+    if pad_n:
+        corpus_i8 = jnp.pad(corpus_i8, ((0, 0), (0, pad_n)))
+        scales = jnp.pad(scales, ((0, 0), (0, pad_n)))
+    qp, np_ = q8.shape[0], corpus_i8.shape[1]
+
+    grid = (qp // block_q, np_ // block_n)
+    kernel = functools.partial(_fused_kernel_int8, k=k, block_n=block_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_q, d), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, 1), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((d, block_n), lambda i, j, *prefetch: (0, j)),
+                pl.BlockSpec((1, block_n), lambda i, j, *prefetch: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * d, bytes_accessed=np_ * d, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.array([limit], dtype=jnp.int32), q8, qscale, corpus_i8, scales)
+    return out_s[:q], out_i[:q]
+
+
+def cosine_topk_fused_int8(
+    queries: jax.Array,
+    corpus_i8: jax.Array,
+    scales: jax.Array,
+    k: int,
+    n_valid: Optional[int] = None,
+    block_q: int = 128,
+    block_n: int = 2048,
+    interpret: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused top-k over an int8-quantized corpus (see ops/quantize.py).
+
+    ``corpus_i8`` is [D, N] int8 with per-column ``scales`` [1, N]; queries
+    are f32 and quantized on device. 4× less HBM traffic than f32 at ~1e-2
+    relative score error — ranking agreement verified in tests.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret)
+
+
 def cosine_topk(
     queries: jax.Array,
     corpus_t: jax.Array,

@@ -14,6 +14,7 @@ from typing import Any, Optional, Sequence
 
 from ..index.vector_index import DeviceVectorIndex, SearchHit
 from ..llm.providers import LLMProvider
+from ..utils.profiling import METRICS
 
 
 def build_answer_prompt(question: str, contexts: Sequence[str]) -> str:
@@ -41,7 +42,8 @@ class VectorRAG:
 
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
-        hits = self.index.search_texts([query], top_k=top_k)[0]
+        with METRICS.timed("vector.search"):
+            hits = self.index.search_texts([query], top_k=top_k)[0]
         return [h.to_dict() for h in hits]
 
     def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
@@ -49,7 +51,8 @@ class VectorRAG:
 
     # --- answer (MCP tool `answer_question` contract) ---------------------
     async def search_and_answer(self, question: str, top_k: int = 3) -> dict[str, Any]:
-        hits = self.index.search_texts([question], top_k=top_k)[0]
+        with METRICS.timed("vector.search_and_answer"):
+            hits = self.index.search_texts([question], top_k=top_k)[0]
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,

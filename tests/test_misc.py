@@ -90,3 +90,42 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestAnswerEval:
+    def test_number_extraction(self):
+        from ragfin_tpu.eval.answers import extract_numbers
+
+        assert extract_numbers("₹10,636 crore (+44.0% YoY)") == [10636.0, 44.0]
+
+    def test_tolerance_matching(self):
+        from ragfin_tpu.eval.answers import number_matches
+
+        assert number_matches(10636.0, [10640.0])      # within ±50 crore
+        assert number_matches(10636.0, [10700.0])      # within ±2%
+        assert not number_matches(10636.0, [12000.0])
+
+    def test_answer_accuracy(self):
+        from ragfin_tpu.eval.answers import answer_accuracy
+
+        assert answer_accuracy("The profit was ₹10,636 crore", "₹10,636 crore") == 1.0
+        assert answer_accuracy("no numbers here", "₹10,636 crore") == 0.0
+        assert answer_accuracy("some text", "no numeric truth") is None
+
+    def test_extractive_answers_beat_reference_bands(self, reference_root):
+        import asyncio
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.answers import evaluate_answers
+        from ragfin_tpu.eval.datasets import load_qa_subset
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.retrieval.vector_rag import VectorRAG
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        rag = VectorRAG(DeviceVectorIndex.build(chunks))
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+        out = asyncio.run(evaluate_answers(rag, qa, top_k=3))
+        # Offline extractive answers recover >80% of ground-truth figures.
+        assert out["answer_accuracy_mean"] > 0.8
+        assert out["numeric_questions"] == 40

@@ -97,3 +97,45 @@ class TestDispatch:
         q, c = data
         with pytest.raises(ValueError):
             cosine_topk(jnp.asarray(q), jnp.asarray(c), 3, method="bogus")
+
+
+class TestInt8:
+    def test_agreement_with_f32(self, data):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+        from ragfin_tpu.ops.topk import cosine_topk_fused_int8
+
+        q, ct = data
+        c8, sc = quantize_corpus_t(jnp.asarray(ct))
+        s8, i8 = cosine_topk_fused_int8(jnp.asarray(q), c8, sc, 10, block_q=8, block_n=256)
+        sf, if_ = cosine_topk_dense(jnp.asarray(q), jnp.asarray(ct), 10)
+        # Random unit vectors are the adversarial case; require high overlap
+        # of the top-10 SET and near-equal scores.
+        overlap = np.mean([
+            len(set(np.asarray(i8)[r]) & set(np.asarray(if_)[r])) / 10
+            for r in range(i8.shape[0])
+        ])
+        assert overlap >= 0.8
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(sf), atol=2e-2)
+
+    def test_quantize_roundtrip_error(self):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+
+        rng = np.random.default_rng(1)
+        ct = rng.standard_normal((64, 200)).astype(np.float32)
+        c8, sc = quantize_corpus_t(jnp.asarray(ct))
+        recon = np.asarray(c8, np.float32) * np.asarray(sc)
+        assert np.abs(recon - ct).max() < np.abs(ct).max() / 100
+
+    def test_int8_index_keeps_perfect_recall(self, reference_root):
+        import os
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.datasets import load_qa_subset
+        from ragfin_tpu.eval.harness import evaluate_retrieval
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        index = DeviceVectorIndex.build(chunks, dtype="int8")
+        assert index.quantized
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+        s = evaluate_retrieval(index, qa, k=10).summary()
+        assert s["retrieval_recall"]["mean"] == 1.0

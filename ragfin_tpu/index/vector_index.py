@@ -104,24 +104,35 @@ class DeviceVectorIndex:
         chunks: Sequence[IndexedChunk],
         encoder: Optional[BagEncoder] = None,
         featurizer: Optional[HashedFeaturizer] = None,
+        embedder=None,
         batch_size: int = 1024,
         **kwargs,
     ) -> "DeviceVectorIndex":
         """Embed chunk texts and pack the matrix (reference build pipeline
-        ``chunking_storing (1).py:377-397``, with encode on-device)."""
-        encoder = encoder or BagEncoder()
-        featurizer = featurizer or HashedFeaturizer(vocab_size=encoder.vocab_size)
+        ``chunking_storing (1).py:377-397``, with encode on-device).
+
+        ``embedder`` (ragfin_tpu.models.embedder) selects the backend —
+        hashed lexical (default) or the MiniLM transformer; the legacy
+        encoder/featurizer pair is kept for direct control of the hashed
+        path."""
         texts = [c.text for c in chunks]
-        if not featurizer.n_docs:
-            featurizer.fit(texts)
+        if embedder is None:
+            from ..models.embedder import HashedEmbedder
+
+            encoder = encoder or BagEncoder()
+            featurizer = featurizer or HashedFeaturizer(vocab_size=encoder.vocab_size)
+            embedder = HashedEmbedder(featurizer=featurizer, encoder=encoder)
+        featurizer_docs = getattr(getattr(embedder, "featurizer", None), "n_docs", None)
+        if featurizer_docs is None or featurizer_docs == 0:
+            embedder.fit(texts)
         embs = []
         for start in range(0, len(texts), batch_size):
-            ids, wts = featurizer.encode_batch(texts[start : start + batch_size])
-            embs.append(np.asarray(encoder.encode(ids, wts)))
+            embs.append(embedder.encode_texts(texts[start : start + batch_size]))
         matrix = np.concatenate(embs, axis=0) if embs else np.zeros((0, EMBED_DIM), np.float32)
         index = cls(matrix, chunks, **kwargs)
-        index.encoder = encoder
-        index.featurizer = featurizer
+        index.embedder = embedder
+        index.encoder = getattr(embedder, "encoder", None)
+        index.featurizer = getattr(embedder, "featurizer", None)
         return index
 
     # --- search ----------------------------------------------------------
@@ -145,8 +156,12 @@ class DeviceVectorIndex:
         Mirrors ``collection.search(...)`` with COSINE + output fields
         (retrieve.py:28-34).
         """
-        ids, wts = self.featurizer.encode_batch(list(queries))
-        q = self.encoder.encode(ids, wts)
+        embedder = getattr(self, "embedder", None)
+        if embedder is not None:
+            q = embedder.encode_texts(list(queries))
+        else:
+            ids, wts = self.featurizer.encode_batch(list(queries))
+            q = self.encoder.encode(ids, wts)
         scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
         scores = np.asarray(scores)
         rows = np.asarray(rows)
@@ -222,4 +237,8 @@ class DeviceVectorIndex:
             index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
         if "encoder" in meta:
             index.encoder = BagEncoder.from_state_dict(meta["encoder"])
+        if getattr(index, "featurizer", None) is not None and getattr(index, "encoder", None) is not None:
+            from ..models.embedder import HashedEmbedder
+
+            index.embedder = HashedEmbedder(featurizer=index.featurizer, encoder=index.encoder)
         return index

@@ -1,0 +1,127 @@
+"""Unified embedder interface: text batch → unit embeddings [B, 384].
+
+Two interchangeable backends behind one protocol (selected by
+``Settings.embed_backend``):
+
+- :class:`HashedEmbedder` — the weight-free lexical default
+  (featurizer → bag encoder; exact TF-IDF-cosine approximation).
+- :class:`MiniLMEmbedder` — the MiniLM-class Flax transformer
+  (reference embedding model, ``chunking_storing (1).py:8``), WordPiece
+  tokenization, jitted batched forward; loads a HF checkpoint directory when
+  available, seeded-random init otherwise.
+
+SURVEY.md §7 embedding-parity note: when a real checkpoint is present,
+validate MiniLMEmbedder against sentence-transformers outputs
+(cosine > 0.999) before claiming recall parity through this backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol, Sequence
+
+import numpy as np
+
+from ..config.constants import EMBED_DIM
+
+
+class Embedder(Protocol):
+    dim: int
+
+    def fit(self, texts: Sequence[str]) -> "Embedder": ...
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray: ...
+
+    def state_dict(self) -> dict: ...
+
+
+class HashedEmbedder:
+    """Featurizer + bag-encoder pipeline as one object."""
+
+    backend = "hashed"
+
+    def __init__(self, vocab_size: int = 1 << 16, dim: int = EMBED_DIM, seed: int = 0,
+                 featurizer=None, encoder=None):
+        from .bag_encoder import BagEncoder
+        from .featurizer import HashedFeaturizer
+
+        self.featurizer = featurizer or HashedFeaturizer(vocab_size=vocab_size)
+        self.encoder = encoder or BagEncoder(vocab_size=vocab_size, dim=dim, seed=seed)
+        self.dim = dim
+
+    def fit(self, texts: Sequence[str]) -> "HashedEmbedder":
+        self.featurizer.fit(texts)
+        return self
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids, wts = self.featurizer.encode_batch(list(texts))
+        return np.asarray(self.encoder.encode(ids, wts))
+
+    def state_dict(self) -> dict:
+        return {
+            "backend": self.backend,
+            "featurizer": self.featurizer.state_dict(),
+            "encoder": self.encoder.state_dict(),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "HashedEmbedder":
+        from .bag_encoder import BagEncoder
+        from .featurizer import HashedFeaturizer
+
+        return cls(
+            featurizer=HashedFeaturizer.from_state_dict(state["featurizer"]),
+            encoder=BagEncoder.from_state_dict(state["encoder"]),
+        )
+
+
+class MiniLMEmbedder:
+    """Flax MiniLM forward as an embedder (batched, jitted, bf16 MXU)."""
+
+    backend = "minilm"
+
+    def __init__(self, checkpoint: Optional[str] = None, seed: int = 0, batch_size: int = 64,
+                 max_len: int = 256):
+        import jax
+
+        from .minilm import MiniLMConfig, MiniLMEncoder, init_params, load_hf_weights
+        from .tokenizer import WordPieceTokenizer
+
+        self.config = MiniLMConfig()
+        self.dim = self.config.hidden_size
+        self.batch_size = batch_size
+        self.checkpoint = checkpoint
+        tokenizer = None
+        params = None
+        if checkpoint:
+            try:
+                params = load_hf_weights(checkpoint, self.config)
+                tokenizer = WordPieceTokenizer.find_checkpoint_vocab(checkpoint, max_len=max_len)
+            except (FileNotFoundError, KeyError):
+                params = None
+        self.params = params if params is not None else init_params(self.config, seed=seed)
+        self.pretrained = params is not None
+        self.tokenizer = tokenizer or WordPieceTokenizer(max_len=max_len)
+        model = MiniLMEncoder(self.config)
+        self._apply = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
+
+    def fit(self, texts: Sequence[str]) -> "MiniLMEmbedder":
+        return self  # nothing corpus-dependent
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        out = []
+        for start in range(0, len(texts), self.batch_size):
+            batch = list(texts[start : start + self.batch_size])
+            ids, mask = self.tokenizer.encode_batch(batch)
+            out.append(np.asarray(self._apply(self.params, ids, mask)))
+        return np.concatenate(out, axis=0) if out else np.zeros((0, self.dim), np.float32)
+
+    def state_dict(self) -> dict:
+        return {"backend": self.backend, "checkpoint": self.checkpoint, "pretrained": self.pretrained}
+
+
+def make_embedder(backend: str = "hashed", **kwargs) -> Embedder:
+    if backend == "hashed":
+        return HashedEmbedder(**{k: v for k, v in kwargs.items() if k in ("vocab_size", "dim", "seed")})
+    if backend == "minilm":
+        return MiniLMEmbedder(**{k: v for k, v in kwargs.items() if k in ("checkpoint", "seed", "batch_size")})
+    raise ValueError(f"unknown embed backend: {backend}")

@@ -70,8 +70,19 @@ class RagFinEngine:
                 return DeviceVectorIndex.load(index_dir)
             except Exception:
                 pass
-        index = DeviceVectorIndex.build(self.chunks, batch_size=1024)
-        return index
+        embedder = None
+        if self.settings.embed_backend != "hashed":
+            from ..models.embedder import make_embedder
+
+            embedder = make_embedder(
+                self.settings.embed_backend, checkpoint=self.settings.minilm_checkpoint
+            )
+        return DeviceVectorIndex.build(
+            self.chunks,
+            embedder=embedder,
+            batch_size=1024,
+            dtype="int8" if self.settings.index_dtype == "int8" else self.settings.index_dtype,
+        )
 
     def persist(self) -> None:
         if self.settings.index_dir:

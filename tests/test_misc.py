@@ -129,3 +129,39 @@ class TestAnswerEval:
         # Offline extractive answers recover >80% of ground-truth figures.
         assert out["answer_accuracy_mean"] > 0.8
         assert out["numeric_questions"] == 40
+
+
+class TestEmbedderBackends:
+    def test_minilm_embedder_random_init(self, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.models.embedder import make_embedder
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))[:4]
+        embedder = make_embedder("minilm")
+        assert not embedder.pretrained  # no checkpoint in this image
+        index = DeviceVectorIndex.build(chunks, embedder=embedder)
+        hits = index.search_texts([chunks[0].text], top_k=1)[0]
+        assert hits[0].id == chunks[0].id  # self-retrieval works even random-init
+
+    def test_hashed_embedder_state_roundtrip(self):
+        from ragfin_tpu.models.embedder import HashedEmbedder
+
+        e = HashedEmbedder()
+        e.fit(["net profit growth", "total assets"])
+        r = HashedEmbedder.from_state_dict(e.state_dict())
+        a = e.encode_texts(["net profit"])
+        b = r.encode_texts(["net profit"])
+        import numpy as np
+
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_make_embedder_unknown(self):
+        import pytest as _pytest
+
+        from ragfin_tpu.models.embedder import make_embedder
+
+        with _pytest.raises(ValueError):
+            make_embedder("bogus")

@@ -167,8 +167,13 @@ class GraphIndex:
     def _pack(self) -> dict[str, Any]:
         if self._packed is not None:
             return self._packed
-        # CSR order: quarter-major, then type, then insertion order.
-        order = sorted(range(len(self._rows)), key=lambda i: (self._rows[i][0], self._rows[i][2], i))
+        # CSR order: quarter-major (lexicographic on the period string —
+        # chronological for Q#_FY#### and matching the reference's
+        # ``ORDER BY q.period``), then type, then insertion order.
+        order = sorted(
+            range(len(self._rows)),
+            key=lambda i: (self.quarters[self._rows[i][0]], self._rows[i][2], i),
+        )
         rows = [self._rows[i] for i in order]
         n = len(rows)
         pad = -n % _PAD or _PAD
@@ -181,11 +186,14 @@ class GraphIndex:
                 arr[i] = default if v is None else v
             return arr
 
-        nq = len(self.quarters)
         quarter_ids = col(0, np.int32)
-        offsets = np.zeros((nq + 1,), np.int32)
+        # CSR row offsets over the chronologically sorted quarter sequence
+        # (rows are packed in that order).
+        sorted_quarters = sorted(set(self.quarters[r[0]] for r in rows))
+        rank = {q: i for i, q in enumerate(sorted_quarters)}
+        offsets = np.zeros((len(sorted_quarters) + 1,), np.int32)
         for r in rows:
-            offsets[r[0] + 1] += 1
+            offsets[rank[self.quarters[r[0]]] + 1] += 1
         offsets = np.cumsum(offsets).astype(np.int32)
 
         self._packed = {
@@ -197,6 +205,7 @@ class GraphIndex:
             "aux": jnp.asarray(col(5, np.float32, np.nan)),
             "row_valid": jnp.asarray(np.arange(total) < n),
             "quarter_offsets": jnp.asarray(offsets),
+            "sorted_quarters": sorted_quarters,
             "rows": rows,  # host sidecar (unit, chunk, dataset strings)
             "n": n,
         }

@@ -148,13 +148,42 @@ class DeviceVectorIndex:
             return cosine_topk_fused_int8(q, self.matrix_t, self.scales, k, n_valid=self.n)
         return cosine_topk(q, self.matrix_t, k, n_valid=self.n, method=method)
 
+    def _filter_mask(
+        self,
+        period: Optional[str] = None,
+        chunk_type: Optional[str] = None,
+        predicate=None,
+    ) -> Optional[np.ndarray]:
+        """Metadata filter → row mask (Milvus filter-expression capability)."""
+        if period is None and chunk_type is None and predicate is None:
+            return None
+        mask = np.zeros((int(self.matrix_t.shape[1]),), bool)
+        for i, r in enumerate(self.records):
+            if period is not None and r.period != period:
+                continue
+            if chunk_type is not None and r.chunk_type != chunk_type:
+                continue
+            if predicate is not None and not predicate(r):
+                continue
+            mask[i] = True
+        return mask
+
     def search_texts(
-        self, queries: Sequence[str], top_k: int = 3, method: str = "auto"
+        self,
+        queries: Sequence[str],
+        top_k: int = 3,
+        method: str = "auto",
+        period: Optional[str] = None,
+        chunk_type: Optional[str] = None,
+        predicate=None,
     ) -> list[list[SearchHit]]:
         """Encode query texts with the index's featurizer+encoder and search.
 
         Mirrors ``collection.search(...)`` with COSINE + output fields
-        (retrieve.py:28-34).
+        (retrieve.py:28-34); ``period``/``chunk_type``/``predicate`` add
+        metadata-filtered search (Milvus filter expressions). Filtered
+        searches on a quantized index run through the dense path over the
+        dequantized matrix.
         """
         embedder = getattr(self, "embedder", None)
         if embedder is not None:
@@ -162,7 +191,22 @@ class DeviceVectorIndex:
         else:
             ids, wts = self.featurizer.encode_batch(list(queries))
             q = self.encoder.encode(ids, wts)
-        scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
+        mask = self._filter_mask(period, chunk_type, predicate)
+        if mask is not None:
+            from ..ops.topk import cosine_topk_dense
+
+            matrix = (
+                self.matrix_t.astype(jnp.float32) * self.scales if self.quantized else self.matrix_t
+            )
+            scores, rows = cosine_topk_dense(
+                jnp.asarray(q, jnp.float32),
+                matrix,
+                min(top_k, max(self.n, 1)),
+                n_valid=self.n,
+                row_mask=jnp.asarray(mask),
+            )
+        else:
+            scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         out = []
@@ -174,6 +218,56 @@ class DeviceVectorIndex:
                     continue
                 hits.append(SearchHit(float(scores[qi, rank]), self.records[row], rank))
             out.append(hits)
+        return out
+
+    # --- incremental insert (Milvus `collection.insert` parity) -----------
+    def extended_with(
+        self, new_chunks: Sequence[IndexedChunk], refit: bool = True
+    ) -> "DeviceVectorIndex":
+        """New index with ``new_chunks`` appended.
+
+        With the corpus-dependent hashed embedder, ``refit=True`` (default)
+        refits the TF-IDF analyzer over the union and re-encodes everything —
+        otherwise new documents' novel terms would be OOV under the frozen
+        IDF and invisible to queries. ``refit=False`` appends under the
+        frozen analyzer (cheap, embedding-stable; right for corpus-independent
+        embedders like MiniLM, where it is the default behavior regardless).
+        """
+        embedder = getattr(self, "embedder", None)
+        if embedder is None:
+            raise ValueError("index has no embedder; rebuild instead")
+        all_records = list(self.records) + list(new_chunks)
+        corpus_dependent = getattr(embedder, "featurizer", None) is not None
+        if refit and corpus_dependent:
+            from ..models.embedder import HashedEmbedder
+            from ..models.featurizer import HashedFeaturizer
+
+            fresh = HashedFeaturizer(
+                vocab_size=embedder.featurizer.vocab_size,
+                sublinear_tf=embedder.featurizer.sublinear_tf,
+                bigram_weight=embedder.featurizer.bigram_weight,
+                drop_oov=embedder.featurizer.drop_oov,
+            )
+            embedder = HashedEmbedder(featurizer=fresh, encoder=embedder.encoder)
+            embedder.fit([r.text for r in all_records])
+            matrix = embedder.encode_texts([r.text for r in all_records])
+        else:
+            if self.quantized:
+                old = np.asarray(self.matrix_t.astype(jnp.float32) * self.scales)[:, : self.n].T
+            else:
+                old = np.asarray(self.matrix_t[:, : self.n].T, np.float32)
+            new = embedder.encode_texts([c.text for c in new_chunks])
+            matrix = np.concatenate([old, new], axis=0)
+        out = DeviceVectorIndex(
+            matrix,
+            all_records,
+            name=self.name,
+            dtype="int8" if self.quantized else self.matrix_t.dtype,
+            normalize=False,
+        )
+        out.embedder = embedder
+        out.encoder = getattr(embedder, "encoder", None)
+        out.featurizer = getattr(embedder, "featurizer", None)
         return out
 
     # --- point lookups (Milvus `query(expr="id in [...]")` parity) -------

@@ -41,12 +41,16 @@ _PRECISIONS = {
 }
 
 
-def _score_mask(scores: jax.Array, n_valid: Optional[int]) -> jax.Array:
+def _score_mask(
+    scores: jax.Array, n_valid: Optional[int], row_mask: Optional[jax.Array] = None
+) -> jax.Array:
     n = scores.shape[-1]
-    if n_valid is None or n_valid >= n:
-        return scores
-    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    return jnp.where(ids < n_valid, scores, NEG_INF)
+    if n_valid is not None and n_valid < n:
+        ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+        scores = jnp.where(ids < n_valid, scores, NEG_INF)
+    if row_mask is not None:
+        scores = jnp.where(row_mask[: n][None, :], scores, NEG_INF)
+    return scores
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_valid", "precision"))
@@ -56,15 +60,20 @@ def cosine_topk_dense(
     k: int,
     n_valid: Optional[int] = None,
     precision: str = "exact",
+    row_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Reference implementation: full [Q, N] scores then ``lax.top_k``."""
+    """Reference implementation: full [Q, N] scores then ``lax.top_k``.
+
+    ``row_mask`` [N] bool enables metadata-filtered search (the Milvus
+    filter-expression capability, e.g. restrict to one period/chunk_type).
+    """
     scores = jnp.dot(
         queries,
         corpus_t.astype(queries.dtype),
         preferred_element_type=jnp.float32,
         precision=_PRECISIONS[precision],
     )
-    scores = _score_mask(scores, n_valid)
+    scores = _score_mask(scores, n_valid, row_mask)
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids.astype(jnp.int32)
 

@@ -86,3 +86,52 @@ class TestScoring:
 
     def test_score_retrieval_empty(self):
         assert score_retrieval([], ["a"]) == (0.0, 0.0, 0.0)
+
+
+class TestFilteredSearch:
+    """Metadata-filtered search (Milvus filter-expression parity)."""
+
+    def test_period_filter(self, index):
+        hits = index.search_texts(["net profit"], top_k=4, period="Q3_FY2024")[0]
+        assert hits and all(h.record.period == "Q3_FY2024" for h in hits)
+
+    def test_chunk_type_filter(self, index):
+        hits = index.search_texts(["performance"], top_k=4, chunk_type="segment_analysis")[0]
+        assert hits and all(h.record.chunk_type == "segment_analysis" for h in hits)
+
+    def test_combined_filter_single_result(self, index):
+        hits = index.search_texts(
+            ["anything"], top_k=10, period="Q2_FY2024", chunk_type="financial_ratios"
+        )[0]
+        assert [h.id for h in hits] == ["icici_q2_fy2024_key_ratios"]
+
+    def test_predicate_filter(self, index):
+        hits = index.search_texts(
+            ["profit"], top_k=10, predicate=lambda r: r.primary_value > 100000
+        )[0]
+        assert hits and all(h.record.primary_value > 100000 for h in hits)
+
+    def test_empty_filter_result(self, index):
+        hits = index.search_texts(["x"], top_k=3, period="Q9_FY2099")[0]
+        assert hits == []
+
+
+class TestIncrementalInsert:
+    def test_extended_with(self, index, corpus_chunks):
+        from ragfin_tpu.data.models import IndexedChunk
+
+        extra = IndexedChunk(
+            id="synthetic_q1_fy2025_note",
+            text="ICICI Bank Q1 FY2025 special synthetic disclosure about digital lending revenue",
+            period="Q1_FY2025",
+            chunk_type="profitability_analysis",
+        )
+        bigger = index.extended_with([extra])
+        assert len(bigger) == len(index) + 1
+        hits = bigger.search_texts(["synthetic disclosure digital lending"], top_k=1)[0]
+        assert hits[0].id == "synthetic_q1_fy2025_note"
+        # original results unchanged
+        q = "What was ICICI Bank's net profit in Q1 FY2024?"
+        assert [h.id for h in bigger.search_texts([q], top_k=1)[0]] == [
+            h.id for h in index.search_texts([q], top_k=1)[0]
+        ]

@@ -110,6 +110,20 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    from .data.loader import build_corpus
+    from .eval.datasets import load_qa_subset
+    from .models.finetune import finetune_and_evaluate
+
+    chunks = build_corpus(args.data)
+    questions = load_qa_subset(args.qa)
+    out = finetune_and_evaluate(
+        chunks, questions, k=args.k, epochs=args.epochs, checkpoint_dir=args.checkpoint_dir
+    )
+    print(json.dumps({k: v for k, v in out.items() if k != "history"}, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -160,6 +174,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="start the service registry")
     p.add_argument("--model", default=None)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("train", help="contrastively fine-tune the embedder on labeled QA")
+    p.add_argument("--data", default="extract_data")
+    p.add_argument("--qa", default="/root/reference/qa_subset.json")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.add_argument("--n", type=int, default=1_000_000)

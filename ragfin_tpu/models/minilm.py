@@ -38,11 +38,28 @@ class MiniLMConfig:
     max_position: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+    pooling: str = "mean"  # "mean" (sentence-transformers) | "cls" (BGE-style)
     dtype: Any = jnp.bfloat16  # activation dtype (params stay f32)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+
+# Encoder family presets: the reference's embedder is MINILM_L6
+# (all-MiniLM-L6-v2, chunking_storing (1).py:8); the others are the common
+# sentence-encoder variants a reference user might swap in.
+MINILM_L6 = MiniLMConfig()
+MINILM_L12 = MiniLMConfig(num_layers=12)
+BGE_SMALL = MiniLMConfig(num_layers=12, pooling="cls")
+BERT_BASE = MiniLMConfig(hidden_size=768, num_layers=12, intermediate_size=3072, pooling="cls")
+
+ENCODER_PRESETS = {
+    "minilm-l6": MINILM_L6,
+    "minilm-l12": MINILM_L12,
+    "bge-small": BGE_SMALL,
+    "bert-base": BERT_BASE,
+}
 
 
 class SelfAttention(nn.Module):
@@ -112,11 +129,14 @@ class MiniLMEncoder(nn.Module):
         )
         for i in range(cfg.num_layers):
             x = TransformerLayer(cfg, name=f"layer_{i}")(x, mask)
-        # Mean pooling over real tokens (sentence-transformers pooling mode).
-        weights = mask.astype(jnp.float32)[:, :, None]
-        pooled = jnp.sum(x.astype(jnp.float32) * weights, axis=1) / jnp.maximum(
-            jnp.sum(weights, axis=1), 1e-9
-        )
+        if cfg.pooling == "cls":
+            pooled = x[:, 0, :].astype(jnp.float32)
+        else:
+            # Mean pooling over real tokens (sentence-transformers mode).
+            weights = mask.astype(jnp.float32)[:, :, None]
+            pooled = jnp.sum(x.astype(jnp.float32) * weights, axis=1) / jnp.maximum(
+                jnp.sum(weights, axis=1), 1e-9
+            )
         return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
 
 

@@ -165,3 +165,52 @@ class TestEmbedderBackends:
 
         with _pytest.raises(ValueError):
             make_embedder("bogus")
+
+
+class TestFinetune:
+    def test_pairs_from_eval_questions(self, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.datasets import load_qa_subset
+        from ragfin_tpu.models.finetune import PairDataset
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+        pairs = PairDataset.from_eval_questions(qa, chunks)
+        assert len(pairs) > 40  # multi-chunk questions contribute several pairs
+        assert len(pairs.queries) == len(pairs.documents)
+
+    def test_finetune_improves_train_recall(self, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.datasets import load_qa_subset
+        from ragfin_tpu.models.finetune import finetune_and_evaluate
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+        out = finetune_and_evaluate(chunks, qa, k=3, epochs=10)
+        assert out["after"]["recall"] >= out["before"]["recall"]
+        assert out["history"][-1]["loss"] < out["history"][0]["loss"]
+
+
+class TestEncoderPresets:
+    def test_cls_pooling_forward(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ragfin_tpu.models.minilm import ENCODER_PRESETS, MiniLMConfig, init_params, minilm_apply
+
+        assert set(ENCODER_PRESETS) == {"minilm-l6", "minilm-l12", "bge-small", "bert-base"}
+        config = MiniLMConfig(num_layers=1, hidden_size=64, num_heads=4,
+                              intermediate_size=128, vocab_size=500,
+                              pooling="cls", dtype=jnp.float32)
+        params = init_params(config, seq_len=8)
+        side = {
+            "input_ids": jnp.zeros((2, 8), jnp.int32),
+            "attention_mask": jnp.ones((2, 8), jnp.int32),
+        }
+        emb = minilm_apply(params, side, config)
+        assert emb.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5)

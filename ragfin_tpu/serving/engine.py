@@ -84,6 +84,17 @@ class RagFinEngine:
             dtype="int8" if self.settings.index_dtype == "int8" else self.settings.index_dtype,
         )
 
+    def warmup(self) -> None:
+        """Pre-compile the common search shapes so first queries are fast
+        (jit caches persist per process; serving p50 should not pay compile)."""
+        if not self.chunks:
+            return
+        for top_k in (1, self.settings.default_top_k, 10):
+            try:
+                self.vector_index.search_texts(["warmup query"], top_k=top_k)
+            except Exception:
+                break
+
     def persist(self) -> None:
         if self.settings.index_dir:
             self.vector_index.save(self.settings.index_dir)

@@ -35,6 +35,7 @@ def launch(services=ALL_SERVICES, host: str = "127.0.0.1", ports=None, engine=No
     settings = get_config()
     ports = {**settings.ports, **(ports or {})}
     engine = engine or get_engine()
+    engine.warmup()
     servers: dict[str, AppServer] = {}
 
     def start(name, app):

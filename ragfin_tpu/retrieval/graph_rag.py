@@ -275,10 +275,14 @@ def build_plan_prompt(question: str, limit: int) -> str:
         '  "quarters": ["Q1_FY2024"],        // [] means all quarters\n'
         '  "names": ["NET PROFIT"],          // [] means all entities\n'
         '  "types": ["metrics"],             // subset of ["metrics","segments","ratios","balance_sheet_items"], [] = all\n'
-        f'  "limit": {limit}\n'
+        f'  "limit": {limit},\n'
+        '  "compare": null                   // or {"name": "NET PROFIT", "from": "Q1_FY2024", "to": "Q4_FY2024"}\n'
         "}\n"
         "Use only canonical names from the lists. Trend/comparison questions "
-        "across quarters leave quarters empty to get every quarter in order.\n"
+        "across quarters leave quarters empty to get every quarter in order. "
+        'Growth questions between two specific quarters set "compare" (the '
+        "engine computes the growth percentage, like the reference's "
+        "Growth_Pct Cypher pattern).\n"
     )
 
 
@@ -296,6 +300,9 @@ class GraphQueryEngine:
                 "order": "quarter_desc", "_fallback": True, "_latest": quarters}
 
     def _execute(self, plan: dict) -> list[dict]:
+        compare = plan.get("compare")
+        if compare and compare.get("name") and compare.get("from") and compare.get("to"):
+            return self._execute_compare(compare)
         types = [_TYPE_BY_NAME[t] for t in plan.get("types", []) if t in _TYPE_BY_NAME] or None
         results = self.graph.match(
             quarters=plan.get("quarters") or None,
@@ -307,6 +314,29 @@ class GraphQueryEngine:
             results = sorted(results, key=lambda r: r.get("quarter", ""), reverse=True)
         return results
 
+    def _execute_compare(self, compare: dict) -> list[dict]:
+        """Two-quarter growth computation (the reference's Growth_Pct Cypher
+        pattern, graph_service.py:146-148)."""
+        name, q_from, q_to = compare["name"], compare["from"], compare["to"]
+        rows = self.graph.match(quarters=[q_from, q_to], names=[name])
+        vals: dict[str, dict] = {}
+        for r in rows:
+            vals[r["quarter"]] = r
+        out = [vals[q] for q in (q_from, q_to) if q in vals]
+        if q_from in vals and q_to in vals:
+            v0 = vals[q_from].get("value", vals[q_from].get("revenue"))
+            v1 = vals[q_to].get("value", vals[q_to].get("revenue"))
+            if v0:
+                out.append(
+                    {
+                        "name": name,
+                        "from": q_from,
+                        "to": q_to,
+                        "growth_pct": round((v1 - v0) / v0 * 100, 2),
+                    }
+                )
+        return out
+
     async def query(self, question: str, limit: int = 10) -> dict[str, Any]:
         plan = None
         if self.provider is not None:
@@ -314,11 +344,13 @@ class GraphQueryEngine:
                 response = await self.provider.generate_content(build_plan_prompt(question, limit))
                 parsed = clean_llm_json(response)
                 if parsed is not None and isinstance(parsed.get("quarters", []), list):
+                    compare = parsed.get("compare")
                     plan = {
                         "quarters": [q for q in parsed.get("quarters", []) if isinstance(q, str)],
                         "names": [n for n in parsed.get("names", []) if isinstance(n, str)],
                         "types": [t for t in parsed.get("types", []) if t in _TYPE_BY_NAME],
                         "limit": min(int(parsed.get("limit", limit) or limit), 100),
+                        "compare": compare if isinstance(compare, dict) else None,
                     }
             except Exception:
                 plan = None

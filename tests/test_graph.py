@@ -228,3 +228,27 @@ class TestHybrid:
         sources = [c["source"] for c in out["chunks"]]
         if "graph" in sources and "vector" in sources:
             assert sources.index("graph") > max(i for i, s in enumerate(sources) if s == "vector")
+
+
+class TestComparePlan:
+    def test_growth_computation(self, graph):
+        plan = json.dumps({
+            "quarters": [], "names": [], "types": [],
+            "limit": 10,
+            "compare": {"name": "NET PROFIT", "from": "Q1_FY2024", "to": "Q4_FY2024"},
+        })
+        engine = GraphQueryEngine(graph, FakeProvider(responder=lambda p: plan))
+        out = asyncio.run(engine.query("How did net profit grow from Q1 to Q4?"))
+        growth_rows = [r for r in out["results"] if "growth_pct" in r]
+        assert len(growth_rows) == 1
+        # Q1 10636 -> Q4 11672 (reference data): +9.74%
+        assert growth_rows[0]["growth_pct"] == pytest.approx(9.74, abs=0.1)
+
+    def test_compare_missing_quarter_degrades(self, graph):
+        plan = json.dumps({
+            "quarters": [], "names": [], "types": [], "limit": 10,
+            "compare": {"name": "NET PROFIT", "from": "Q1_FY2024", "to": "Q4_FY2099"},
+        })
+        engine = GraphQueryEngine(graph, FakeProvider(responder=lambda p: plan))
+        out = asyncio.run(engine.query("growth into the far future?"))
+        assert all("growth_pct" not in r for r in out["results"])

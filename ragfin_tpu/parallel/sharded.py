@@ -37,6 +37,7 @@ def sharded_cosine_topk(
     n_valid: int,
     method: str = "dense",
     precision: str = "exact",
+    scales: "jax.Array | None" = None,
 ):
     """shard_map program: local exact top-k per shard + all-gather merge.
 
@@ -47,17 +48,7 @@ def sharded_cosine_topk(
     n_dev = mesh.shape[axis]
     shard_cols = n_total // n_dev
 
-    def local(q, ct_local):
-        shard = jax.lax.axis_index(axis)
-        base = shard * shard_cols
-        # Local k-select; padded columns handled by global-id masking below.
-        local_k = min(k, shard_cols)
-        if method == "fused":
-            s, i = topk_ops.cosine_topk_fused(q, ct_local, local_k, precision=precision)
-        elif method == "blocked":
-            s, i = topk_ops.cosine_topk_blocked(q, ct_local, local_k, precision=precision)
-        else:
-            s, i = topk_ops.cosine_topk_dense(q, ct_local, local_k, precision=precision)
+    def _merge(q, s, i, base):
         gids = i + base
         s = jnp.where(gids < n_valid, s, topk_ops.NEG_INF)
         # Candidate merge across shards rides ICI: P*k pairs per query.
@@ -67,6 +58,37 @@ def sharded_cosine_topk(
         top_s, sel = jax.lax.top_k(cand_s, kk)
         top_i = jnp.take_along_axis(cand_i, sel, axis=1)
         return top_s, top_i.astype(jnp.int32)
+
+    local_k = min(k, shard_cols)
+
+    if method == "int8":
+        if scales is None:
+            raise ValueError("method='int8' requires scales")
+
+        def local_int8(q, ct_local, scales_local):
+            shard = jax.lax.axis_index(axis)
+            s, i = topk_ops.cosine_topk_fused_int8(q, ct_local, scales_local, local_k)
+            return _merge(q, s, i, shard * shard_cols)
+
+        fn = shard_map(
+            local_int8,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis), P(None, axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, corpus_t_sharded, scales)
+
+    def local(q, ct_local):
+        shard = jax.lax.axis_index(axis)
+        # Local k-select; padded columns handled by global-id masking in merge.
+        if method == "fused":
+            s, i = topk_ops.cosine_topk_fused(q, ct_local, local_k, precision=precision)
+        elif method == "blocked":
+            s, i = topk_ops.cosine_topk_blocked(q, ct_local, local_k, precision=precision)
+        else:
+            s, i = topk_ops.cosine_topk_dense(q, ct_local, local_k, precision=precision)
+        return _merge(q, s, i, shard * shard_cols)
 
     fn = shard_map(
         local,
@@ -117,13 +139,20 @@ class ShardedVectorIndex:
     @classmethod
     def from_dense(cls, index, mesh: Optional[Mesh] = None, **kwargs) -> "ShardedVectorIndex":
         """Re-shard an existing DeviceVectorIndex across a mesh."""
+        if getattr(index, "quantized", False):
+            dense = np.asarray(
+                (index.matrix_t.astype(jnp.float32) * index.scales)[:, : index.n].T
+            )
+        else:
+            dense = np.asarray(index.matrix_t[:, : index.n].T)
         out = cls(
-            np.asarray(index.matrix_t[:, : index.n].T),
+            dense,
             index.records,
             mesh=mesh,
             normalize=False,
             **kwargs,
         )
+        out.embedder = getattr(index, "embedder", None)
         out.encoder = getattr(index, "encoder", None)
         out.featurizer = getattr(index, "featurizer", None)
         return out

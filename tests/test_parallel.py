@@ -174,3 +174,41 @@ class TestProfiling:
         assert s["counters"]["queries"] == 5
         assert s["latency_ms"]["search"]["count"] == 1
         assert m.qps("search") > 0
+
+
+class TestShardedInt8:
+    def test_int8_matches_dense_on_real_corpus(self, mesh, reference_root):
+        import os
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+        from ragfin_tpu.parallel.sharded import sharded_cosine_topk
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        dense = DeviceVectorIndex.build(chunks, pad_multiple=128)
+        ct = dense.matrix_t  # [D, 128]
+        c8, sc = quantize_corpus_t(ct)
+        sharding = NamedSharding(mesh, P(None, "data"))
+        c8 = jax.device_put(c8, sharding)
+        sc = jax.device_put(sc, sharding)
+
+        ids, wts = dense.featurizer.encode_batch(["What was ICICI Bank's net profit in Q1 FY2024?"])
+        q = dense.encoder.encode(ids, wts)
+        s, i = sharded_cosine_topk(mesh, "data", q, c8, 3, n_valid=dense.n, method="int8", scales=sc)
+        top = dense.records[int(np.asarray(i)[0, 0])]
+        assert top.id == "icici_q1_fy2024_profitability_analysis"
+
+    def test_int8_requires_scales(self, mesh):
+        import jax.numpy as jnp
+
+        from ragfin_tpu.parallel.sharded import sharded_cosine_topk
+
+        with pytest.raises(ValueError, match="scales"):
+            sharded_cosine_topk(
+                mesh, "data", jnp.zeros((1, 8)), jnp.zeros((8, 64), jnp.int8), 3,
+                n_valid=64, method="int8",
+            )

@@ -223,6 +223,11 @@ def build_graph_mcp(engine: Optional[RagFinEngine] = None, monolith: bool = Fals
 
     if monolith:
 
+        @server.tool(description="Hybrid vector+graph retrieval with on-device fusion")
+        async def hybrid_query(question: str, vector_k: int = 10, k_out: int = 20):
+            out = await engine.hybrid.hybrid_query(question, vector_k=vector_k, k_out=k_out)
+            return {"success": True, **out}
+
         @server.tool(description="Per-entity cross-type co-occurrence by quarter")
         def traverse_entity_relationships(entity_name: str, limit: int = 50):
             rows = engine.graph.expand([entity_name], limit=limit)

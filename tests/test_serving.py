@@ -186,3 +186,12 @@ class TestAdapters:
         assert r.json()["Quarter_count"] == 4
         r = httpx.get(f"{servers['graph_adapter']}/health")
         assert r.json()["status"] == "healthy"
+
+
+class TestHybridTool:
+    def test_hybrid_query_tool(self, servers, engine):
+        out = MCPClient(servers["graph_mcp"]).call_tool(
+            "hybrid_query", {"question": "How did net profit change from Q1 to Q4 FY2024?"}
+        )
+        assert out["success"] and out["chunks"]
+        assert out["graph_strategy"] == "metric_multi_quarter"

@@ -30,7 +30,7 @@ class RagFinEngine:
         self.provider = provider if provider is not None else self._make_provider()
         self.chunks = chunks if chunks is not None else self._load_chunks()
         self.vector_index = self._build_or_load_index()
-        self.graph = GraphIndex()
+        self.graph = self._load_graph()
         extractor = (
             EntityExtractor(self.settings.default_model, self.settings.get_api_key_for_model(self.settings.default_model))
             if self.provider is not None and self.settings.default_model != "fake"
@@ -94,6 +94,15 @@ class RagFinEngine:
                 self.vector_index.search_texts(["warmup query"], top_k=top_k)
             except Exception:
                 break
+
+    def _load_graph(self) -> GraphIndex:
+        graph_dir = os.path.join(self.settings.index_dir or "", "graph")
+        if self.settings.index_dir and os.path.exists(os.path.join(graph_dir, "graph.json")):
+            try:
+                return GraphIndex.load(graph_dir)
+            except Exception:
+                pass
+        return GraphIndex()
 
     def persist(self) -> None:
         if self.settings.index_dir:

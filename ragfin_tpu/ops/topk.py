@@ -193,7 +193,9 @@ def _fused_kernel(
 
     row_max = jnp.max(scores, axis=-1)  # [TQ]
     kth_best = acc_s[:, k - 1]  # [TQ]
-    improves = jnp.any(row_max > kth_best)
+    # >= not >: a tile that exactly ties the kth score can still hold a
+    # lower id that stable descending order must prefer.
+    improves = jnp.any(row_max >= kth_best)
 
     @pl.when(improves)
     def _merge():
@@ -312,7 +314,7 @@ def _fused_kernel_int8(
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
     row_max = jnp.max(scores, axis=-1)
-    improves = jnp.any(row_max > acc_s[:, k - 1])
+    improves = jnp.any(row_max >= acc_s[:, k - 1])
 
     @pl.when(improves)
     def _merge():

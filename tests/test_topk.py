@@ -139,3 +139,22 @@ class TestInt8:
         qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
         s = evaluate_retrieval(index, qa, k=10).summary()
         assert s["retrieval_recall"]["mean"] == 1.0
+
+
+class TestTies:
+    def test_duplicate_corpus_rows_tie_break_to_lowest_id(self):
+        """Identical chunks (exact score ties) must come back lowest-id-first
+        from every tier, matching a stable descending sort."""
+        rng = np.random.default_rng(9)
+        base = _random_unit(rng, 40, 32)
+        corpus = np.concatenate([base, base[:10]], axis=0)  # rows 40..49 dup 0..9
+        ct = jnp.asarray(corpus.T.copy())
+        q = jnp.asarray(base[:5])
+        es, ei = _numpy_oracle(np.asarray(q), np.asarray(ct), 6)
+        for fn, kw in (
+            (cosine_topk_dense, {}),
+            (cosine_topk_blocked, {"block": 16}),
+            (cosine_topk_fused, {"block_q": 8, "block_n": 128}),
+        ):
+            s, i = fn(q, ct, 6, **kw)
+            assert np.array_equal(np.asarray(i), ei), fn.__name__

@@ -317,6 +317,9 @@ class DeviceVectorIndex:
             meta["featurizer"] = self.featurizer.state_dict()
         if getattr(self, "encoder", None) is not None:
             meta["encoder"] = self.encoder.state_dict()
+        embedder = getattr(self, "embedder", None)
+        if embedder is not None and getattr(embedder, "backend", "hashed") != "hashed":
+            meta["embedder"] = embedder.state_dict()
         with open(os.path.join(directory, "index.json"), "w") as f:
             json.dump(meta, f, ensure_ascii=False)
 
@@ -331,7 +334,11 @@ class DeviceVectorIndex:
             index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
         if "encoder" in meta:
             index.encoder = BagEncoder.from_state_dict(meta["encoder"])
-        if getattr(index, "featurizer", None) is not None and getattr(index, "encoder", None) is not None:
+        if "embedder" in meta and meta["embedder"].get("backend") == "minilm":
+            from ..models.embedder import MiniLMEmbedder
+
+            index.embedder = MiniLMEmbedder(checkpoint=meta["embedder"].get("checkpoint"))
+        elif getattr(index, "featurizer", None) is not None and getattr(index, "encoder", None) is not None:
             from ..models.embedder import HashedEmbedder
 
             index.embedder = HashedEmbedder(featurizer=index.featurizer, encoder=index.encoder)

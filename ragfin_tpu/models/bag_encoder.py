@@ -57,8 +57,14 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
+_jit_bag_encode = jax.jit(functools.partial(bag_encode, normalize=True))
+
+
 class BagEncoder:
-    """Stateful convenience wrapper pairing the table with a jitted encode."""
+    """Stateful convenience wrapper pairing the table with a jitted encode.
+
+    All instances share one jitted encode (keyed by shapes), so constructing
+    many encoders never retraces."""
 
     def __init__(
         self,
@@ -72,11 +78,10 @@ class BagEncoder:
         self.dim = dim
         self.seed = seed
         self.table = table if table is not None else init_table(vocab_size, dim, seed, dtype)
-        self._encode = jax.jit(functools.partial(bag_encode, normalize=True))
 
     def encode(self, ids, weights) -> jax.Array:
         """ids [B,L] int32, weights [B,L] float32 → unit embeddings [B,D]."""
-        return self._encode(self.table, jnp.asarray(ids), jnp.asarray(weights))
+        return _jit_bag_encode(self.table, jnp.asarray(ids), jnp.asarray(weights))
 
     def state_dict(self) -> dict:
         return {"vocab_size": self.vocab_size, "dim": self.dim, "seed": self.seed}

@@ -57,7 +57,7 @@ def build_entity_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
 
     @app.post("/api/v1/extract")
     def extract(request: Request):
-        chunk = _chunk_from(request.json.get("chunk", request.json))
+        chunk = _chunk_from((request.json or {}).get("chunk", request.json))
         t0 = time.perf_counter()
         entities = asyncio.run(engine.graph_builder.extractor.extract(chunk))
         return {

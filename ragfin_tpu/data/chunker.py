@@ -270,7 +270,9 @@ def segment_chunk(segmental: Json, period: str, company: str) -> Optional[Indexe
     )
 
 
-def create_complete_context_chunks(quarterly_data: list[Json], period: str) -> list[IndexedChunk]:
+def create_complete_context_chunks(
+    quarterly_data: list[Json], period: str, id_prefix: str = "icici"
+) -> list[IndexedChunk]:
     """Build the four analysis chunks for one quarter.
 
     Same public contract as the reference entry point
@@ -295,5 +297,7 @@ def create_complete_context_chunks(quarterly_data: list[Json], period: str) -> l
             continue
         chunk = builder(source, period, company)
         if chunk is not None:
+            if id_prefix != "icici":
+                chunk.id = id_prefix + chunk.id[len("icici"):]
             chunks.append(chunk)
     return chunks

@@ -228,6 +228,11 @@ def build_graph_mcp(engine: Optional[RagFinEngine] = None, monolith: bool = Fals
             out = await engine.hybrid.hybrid_query(question, vector_k=vector_k, k_out=k_out)
             return {"success": True, **out}
 
+        @server.tool(description="Execute a raw JSON query plan against the graph (execute_raw_cypher equivalent)")
+        def execute_raw_plan(plan: dict):
+            results = engine.graph_builder.query_engine._execute(plan or {})
+            return {"success": True, "results": results, "result_count": len(results)}
+
         @server.tool(description="Per-entity cross-type co-occurrence by quarter")
         def traverse_entity_relationships(entity_name: str, limit: int = 50):
             rows = engine.graph.expand([entity_name], limit=limit)

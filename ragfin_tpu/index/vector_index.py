@@ -303,10 +303,15 @@ class DeviceVectorIndex:
             dense = (self.matrix_t.astype(jnp.float32) * self.scales)[:, : self.n].T
         else:
             dense = self.matrix_t[:, : self.n].T
-        np.savez_compressed(
-            os.path.join(directory, "matrix.npz"),
-            matrix=np.asarray(dense, np.float32),
-        )
+        dense = np.asarray(dense, np.float32)
+        from ..utils import indexio
+
+        if indexio.available():
+            # Native RGFI format: uncompressed + CRC32 — the fast path for
+            # multi-GB matrices where npz compression takes minutes.
+            indexio.write_array(os.path.join(directory, "matrix.rgfi"), dense)
+        else:
+            np.savez_compressed(os.path.join(directory, "matrix.npz"), matrix=dense)
         meta = {
             "name": self.name,
             "n": self.n,
@@ -327,7 +332,13 @@ class DeviceVectorIndex:
     def load(cls, directory: str, **kwargs) -> "DeviceVectorIndex":
         with open(os.path.join(directory, "index.json")) as f:
             meta = json.load(f)
-        matrix = np.load(os.path.join(directory, "matrix.npz"))["matrix"]
+        rgfi = os.path.join(directory, "matrix.rgfi")
+        if os.path.exists(rgfi) or os.path.exists(rgfi + ".npy"):
+            from ..utils import indexio
+
+            matrix = indexio.read_array(rgfi)
+        else:
+            matrix = np.load(os.path.join(directory, "matrix.npz"))["matrix"]
         records = [IndexedChunk(**r) for r in meta["records"]]
         index = cls(matrix, records, name=meta.get("name", DEFAULT_COLLECTION), **kwargs)
         if "featurizer" in meta:

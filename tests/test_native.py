@@ -62,3 +62,51 @@ class TestNativeParity:
         python = {int(k): float(v) for k, v in f.feature_ids("plain ascii").items()}
         native = {int(i): float(v) for i, v in zip(ids[2, : lens[2]], tf[2, : lens[2]])}
         assert native == python
+
+
+class TestIndexIO:
+    def test_roundtrip_f32(self, tmp_path):
+        from ragfin_tpu.utils import indexio
+
+        arr = np.random.default_rng(0).standard_normal((384, 256)).astype(np.float32)
+        path = str(tmp_path / "m.rgfi")
+        indexio.write_array(path, arr)
+        back = indexio.read_array(path)
+        assert np.array_equal(back, arr)
+
+    def test_roundtrip_int8(self, tmp_path):
+        from ragfin_tpu.utils import indexio
+
+        arr = np.random.default_rng(1).integers(-127, 127, (64, 100)).astype(np.int8)
+        path = str(tmp_path / "q.rgfi")
+        indexio.write_array(path, arr)
+        assert np.array_equal(indexio.read_array(path), arr)
+
+    def test_corruption_detected(self, tmp_path):
+        from ragfin_tpu.utils import indexio
+
+        arr = np.ones((8, 128), np.float32)
+        path = str(tmp_path / "c.rgfi")
+        indexio.write_array(path, arr)
+        data = bytearray(open(path, "rb").read())
+        data[100] ^= 0xFF  # flip a payload bit
+        open(path, "wb").write(bytes(data))
+        with pytest.raises(indexio.IndexIOError, match="checksum"):
+            indexio.read_array(path)
+
+    def test_index_save_load_uses_rgfi(self, tmp_path, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        index = DeviceVectorIndex.build(chunks)
+        d = str(tmp_path / "idx")
+        index.save(d)
+        assert os.path.exists(os.path.join(d, "matrix.rgfi"))
+        loaded = DeviceVectorIndex.load(d)
+        q = "net profit Q1 FY2024"
+        assert [h.id for h in loaded.search_texts([q], top_k=3)[0]] == [
+            h.id for h in index.search_texts([q], top_k=3)[0]
+        ]

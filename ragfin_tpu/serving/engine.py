@@ -8,6 +8,7 @@ MCP (:mod:`ragfin_tpu.serving.mcp`), adapters — wraps it.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -20,6 +21,9 @@ from ..llm.providers import LLMProvider, ModelFactory
 from ..retrieval.graph_rag import GraphBuilder
 from ..retrieval.hybrid import HybridRAG
 from ..retrieval.vector_rag import VectorRAG
+
+
+logger = logging.getLogger("ragfin_tpu.engine")
 
 
 class RagFinEngine:
@@ -39,6 +43,13 @@ class RagFinEngine:
         self.graph_builder = GraphBuilder(self.graph, extractor=extractor, provider=self.provider)
         self.vector_rag = VectorRAG(self.vector_index, self.provider)
         self.hybrid = HybridRAG(self.vector_index, self.graph, self.provider)
+        logger.info(
+            "engine ready: %d chunks indexed (dim=%d, %s), %d graph facts, provider=%s",
+            self.vector_index.n, self.vector_index.dim,
+            "int8" if self.vector_index.quantized else str(self.vector_index.matrix_t.dtype),
+            self.graph.stats().get("total_facts", 0),
+            getattr(self.provider, "model_name", None) or "offline",
+        )
 
     # --- construction -----------------------------------------------------
     def _make_provider(self) -> Optional[LLMProvider]:

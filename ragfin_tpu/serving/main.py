@@ -10,6 +10,7 @@ the reference's CLI model switch (``main_graph.py:21-26,181-189``).
 from __future__ import annotations
 
 import argparse
+import logging
 import time
 
 from ..config.settings import get_config, switch_default_model
@@ -60,7 +61,16 @@ def launch(services=ALL_SERVICES, host: str = "127.0.0.1", ports=None, engine=No
     return servers
 
 
+def configure_logging(level: int = logging.INFO) -> None:
+    """stdout INFO logging (parity with the reference services' basicConfig)."""
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+
+
 def main() -> None:
+    configure_logging()
     parser = argparse.ArgumentParser(description="ragfin_tpu service launcher")
     parser.add_argument("--model", default=None, help="default LLM (e.g. gemini-2.0-flash, fake)")
     parser.add_argument("--services", default=",".join(ALL_SERVICES))

@@ -212,3 +212,15 @@ class TestShardedInt8:
                 mesh, "data", jnp.zeros((1, 8)), jnp.zeros((8, 64), jnp.int8), 3,
                 n_valid=64, method="int8",
             )
+
+
+class TestDistributedHelpers:
+    def test_single_process_noop(self):
+        from ragfin_tpu.parallel.distributed import global_corpus_mesh, initialize_distributed
+
+        info = initialize_distributed(num_processes=1, process_id=0)
+        assert info["num_processes"] == 1
+        assert info["global_devices"] >= 8
+        mesh = global_corpus_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.size == jax.device_count()

@@ -64,32 +64,69 @@ def token_overlap(answer: str, ground_truth: str) -> float:
     return len(a & g) / len(g) if g else 0.0
 
 
+def faithfulness(answer: str, contexts: Sequence[str]) -> Optional[float]:
+    """Grounding proxy for the RAGAS faithfulness slot (C23): fraction of
+    numbers in the answer that appear in the retrieved contexts (within the
+    dataset's numeric tolerance). None when the answer has no numbers."""
+    nums = extract_numbers(answer)
+    if not nums:
+        return None
+    context_nums = extract_numbers(" ".join(contexts))
+    return sum(1 for n in nums if number_matches(n, context_nums)) / len(nums)
+
+
 @dataclass
 class AnswerResult:
     id: str
     category: str
     accuracy: float
     mode: str  # "numeric" | "overlap"
+    faithfulness: Optional[float] = None
 
 
 async def evaluate_answers(vector_rag, questions: Sequence[EvalQuestion], top_k: int = 3) -> dict:
     """Run search_and_answer per question and score against ground truth."""
     results: list[AnswerResult] = []
+    detailed: list[dict] = []
     for q in questions:
         out = await vector_rag.search_and_answer(q.question, top_k=top_k)
         answer = out.get("answer", "")
+        contexts = [c.get("text", "") for c in out.get("contexts", [])]
+        faith = faithfulness(answer, contexts)
         acc = answer_accuracy(answer, q.ground_truth_answer)
         if acc is None:
-            results.append(AnswerResult(q.id, q.category, token_overlap(answer, q.ground_truth_answer), "overlap"))
+            results.append(
+                AnswerResult(q.id, q.category, token_overlap(answer, q.ground_truth_answer), "overlap", faith)
+            )
         else:
-            results.append(AnswerResult(q.id, q.category, acc, "numeric"))
+            results.append(AnswerResult(q.id, q.category, acc, "numeric", faith))
+        # Per-question record in the shape of the reference's detailed-results
+        # file (res_ablation/icici_rag_with_ragas_detailed_results.json).
+        detailed.append(
+            {
+                "question_id": q.id,
+                "question": q.question,
+                "category": q.category,
+                "ground_truth_answer": q.ground_truth_answer,
+                "generated_answer": answer,
+                "retrieved_chunks": [c.get("id") for c in out.get("contexts", [])],
+                "answer_accuracy": results[-1].accuracy,
+                "faithfulness": faith,
+            }
+        )
     by_cat: dict[str, list[float]] = {}
     for r in results:
         by_cat.setdefault(r.category, []).append(r.accuracy)
+    faith_vals = [r.faithfulness for r in results if r.faithfulness is not None]
     return {
         "questions": len(results),
         "answer_accuracy_mean": statistics.fmean([r.accuracy for r in results]) if results else 0.0,
+        "faithfulness_mean": statistics.fmean(faith_vals) if faith_vals else None,
         "numeric_questions": sum(1 for r in results if r.mode == "numeric"),
         "accuracy_by_category": {c: statistics.fmean(v) for c, v in sorted(by_cat.items())},
-        "per_question": [{"id": r.id, "accuracy": r.accuracy, "mode": r.mode} for r in results],
+        "per_question": [
+            {"id": r.id, "accuracy": r.accuracy, "mode": r.mode, "faithfulness": r.faithfulness}
+            for r in results
+        ],
+        "detailed_results": detailed,
     }

@@ -214,3 +214,31 @@ class TestEncoderPresets:
         emb = minilm_apply(params, side, config)
         assert emb.shape == (2, 64)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5)
+
+
+class TestFaithfulness:
+    def test_grounded_answer(self):
+        from ragfin_tpu.eval.answers import faithfulness
+
+        assert faithfulness("profit was ₹10,636 crore", ["NET PROFIT: ₹10,636 crore"]) == 1.0
+        assert faithfulness("profit was ₹99,999 crore", ["NET PROFIT: ₹10,636 crore"]) == 0.0
+        assert faithfulness("no numbers", ["context"]) is None
+
+    def test_extractive_answers_fully_grounded(self, reference_root):
+        """Extractive answers quote the context verbatim → faithfulness 1.0."""
+        import asyncio
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.answers import evaluate_answers
+        from ragfin_tpu.eval.datasets import load_qa_subset
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.retrieval.vector_rag import VectorRAG
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        rag = VectorRAG(DeviceVectorIndex.build(chunks))
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))[:8]
+        out = asyncio.run(evaluate_answers(rag, qa, top_k=3))
+        assert out["faithfulness_mean"] == 1.0
+        assert len(out["detailed_results"]) == 8
+        assert {"question_id", "generated_answer", "retrieved_chunks"} <= set(out["detailed_results"][0])

@@ -242,3 +242,64 @@ class TestFaithfulness:
         assert out["faithfulness_mean"] == 1.0
         assert len(out["detailed_results"]) == 8
         assert {"question_id", "generated_answer", "retrieved_chunks"} <= set(out["detailed_results"][0])
+
+
+class TestHFWeightLoader:
+    def test_synthetic_checkpoint_roundtrip(self, tmp_path):
+        """Build a fake HF BERT checkpoint, load it, verify mapping + forward."""
+        import jax.numpy as jnp
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from ragfin_tpu.models.minilm import MiniLMConfig, MiniLMEncoder, load_hf_weights
+
+        config = MiniLMConfig(vocab_size=50, hidden_size=8, num_layers=1, num_heads=2,
+                              intermediate_size=16, max_position=16, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+
+        def t(*shape):
+            return rng.standard_normal(shape).astype(np.float32)
+
+        tensors = {
+            "embeddings.word_embeddings.weight": t(50, 8),
+            "embeddings.position_embeddings.weight": t(16, 8),
+            "embeddings.token_type_embeddings.weight": t(2, 8),
+            "embeddings.LayerNorm.weight": t(8),
+            "embeddings.LayerNorm.bias": t(8),
+        }
+        hf_names = {
+            "attention.self.query": (8, 8), "attention.self.key": (8, 8),
+            "attention.self.value": (8, 8), "attention.output.dense": (8, 8),
+            "intermediate.dense": (16, 8), "output.dense": (8, 16),
+        }
+        for name, (out_d, in_d) in hf_names.items():
+            tensors[f"encoder.layer.0.{name}.weight"] = t(out_d, in_d)  # torch [out, in]
+            tensors[f"encoder.layer.0.{name}.bias"] = t(out_d)
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            tensors[f"encoder.layer.0.{ln}.weight"] = t(8)
+            tensors[f"encoder.layer.0.{ln}.bias"] = t(8)
+        save_file(tensors, str(tmp_path / "model.safetensors"))
+
+        params = load_hf_weights(str(tmp_path), config)
+        # torch Linear [out, in] must land transposed as flax kernel [in, out]
+        kernel = params["params"]["layer_0"]["attention"]["query"]["kernel"]
+        np.testing.assert_allclose(
+            kernel, tensors["encoder.layer.0.attention.self.query.weight"].T
+        )
+        emb = params["params"]["word_embeddings"]["embedding"]
+        np.testing.assert_allclose(emb, tensors["embeddings.word_embeddings.weight"])
+
+        model = MiniLMEncoder(config)
+        ids = jnp.asarray([[1, 2, 3, 0]], jnp.int32)
+        mask = jnp.asarray([[1, 1, 1, 0]], jnp.int32)
+        out = model.apply(params, ids, mask)
+        assert out.shape == (1, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from ragfin_tpu.models.minilm import load_hf_weights
+
+        with _pytest.raises(FileNotFoundError):
+            load_hf_weights(str(tmp_path))

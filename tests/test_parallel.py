@@ -224,3 +224,46 @@ class TestDistributedHelpers:
         mesh = global_corpus_mesh()
         assert mesh.axis_names == ("data",)
         assert mesh.size == jax.device_count()
+
+
+class TestPipelineParallel:
+    def test_pipeline_matches_sequential(self):
+        from jax.sharding import Mesh
+
+        from ragfin_tpu.parallel.mesh import make_mesh
+        from ragfin_tpu.parallel.pipeline import (
+            init_pipeline_params,
+            make_pipeline_forward,
+            place_pipeline_params,
+            sequential_forward,
+        )
+
+        mesh = make_mesh(("pp",), (4,), devices=jax.devices()[:4])
+        L, d, M, B = 8, 16, 3, 4  # 2 layers per stage
+        params = init_pipeline_params(jax.random.PRNGKey(0), L, d)
+        x = jax.random.normal(jax.random.PRNGKey(1), (M, B, d))
+
+        pipe = make_pipeline_forward(mesh)
+        out = pipe(place_pipeline_params(params, mesh), x)
+        ref = jax.vmap(lambda mb: sequential_forward(params, mb))(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_training_reduces_loss(self):
+        from ragfin_tpu.parallel.mesh import make_mesh
+        from ragfin_tpu.parallel.pipeline import (
+            init_pipeline_params,
+            make_pipeline_train_step,
+            place_pipeline_params,
+        )
+
+        mesh = make_mesh(("pp",), (2,), devices=jax.devices()[:2])
+        params = init_pipeline_params(jax.random.PRNGKey(0), 4, 8)
+        params = place_pipeline_params(params, mesh)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+        targets = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8)) * 0.1
+        step = make_pipeline_train_step(mesh, learning_rate=0.05)
+        losses = []
+        for _ in range(8):
+            params, loss = step(params, x, targets)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]

@@ -21,7 +21,6 @@ import json
 import re
 from typing import Optional
 
-from ..config.constants import SUPPORTED_QUARTERS
 from ..data.models import (
     BalanceSheetItem,
     BusinessSegment,

@@ -24,7 +24,7 @@ from ..data.models import IndexedChunk
 from ..eval.datasets import EvalQuestion
 from .bag_encoder import BagEncoder
 from .featurizer import HashedFeaturizer
-from .training import TrainState, bag_apply, init_train_state, make_train_step
+from .training import bag_apply, init_train_state, make_train_step
 
 
 @dataclasses.dataclass

@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .featurizer import fnv1a64, tokenize as word_tokenize
+from .featurizer import fnv1a64
 
 PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
 _PUNCT_SPLIT = re.compile(r"(\W)")

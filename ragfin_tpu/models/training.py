@@ -16,7 +16,6 @@ negatives, psum for grads).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -15,7 +15,6 @@ the pipeline (gradients ride the reverse ppermutes)."""
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -13,7 +13,6 @@ axis that makes 10M-chunk corpora query at speed-of-light (BASELINE.json).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

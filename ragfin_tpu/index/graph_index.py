@@ -79,6 +79,27 @@ def _match_kernel(
     return top_rows.astype(jnp.int32), jnp.isfinite(top_scores), count
 
 
+@jax.jit
+def _aggregate_kernel(values, quarter_ids, entity_ids, type_ids, row_valid,
+                      quarter_mask, entity_mask, type_mask):
+    """Masked aggregation over fact values: (argmax row, argmin row, mean).
+
+    Powers peak/trough questions ("which quarter did X peak") as one device
+    reduction instead of host-side sorting of match results."""
+    hit = (
+        quarter_mask[quarter_ids]
+        & entity_mask[entity_ids]
+        & type_mask[type_ids]
+        & row_valid
+        & jnp.isfinite(values)
+    )
+    pos = jnp.where(hit, values, -jnp.inf)
+    neg = jnp.where(hit, values, jnp.inf)
+    count = jnp.maximum(jnp.sum(hit), 1)
+    mean = jnp.sum(jnp.where(hit, values, 0.0)) / count
+    return jnp.argmax(pos), jnp.argmin(neg), mean, jnp.sum(hit)
+
+
 @functools.partial(jax.jit, static_argnames=("n_quarters",))
 def _expand_kernel(quarter_ids, entity_ids, type_ids, row_valid, seed_entity_mask, n_quarters: int):
     """1-hop frontier expansion: entities → quarters touching them → all
@@ -254,6 +275,34 @@ class GraphIndex:
             packed["row_valid"], qm, em, tm, limit,
         )
         return self._rows_to_dicts(packed, np.asarray(top_rows), np.asarray(valid))
+
+    def aggregate(
+        self,
+        names: Optional[Sequence[str]] = None,
+        quarters: Optional[Sequence[str]] = None,
+        types: Optional[Sequence[int]] = None,
+        field: str = "value",
+    ) -> Optional[dict]:
+        """Masked min/max/mean over a fact attribute ('value'|'growth'|'aux').
+
+        Returns {"max": row-dict, "min": row-dict, "mean": float, "count"} or
+        None when nothing matches — e.g. peak-margin-quarter questions use
+        field="aux" over SEGMENT facts."""
+        packed = self._pack()
+        if packed["n"] == 0:
+            return None
+        qm, em, tm = self._masks(quarters, names, types)
+        argmax, argmin, mean, count = _aggregate_kernel(
+            packed[field], packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
+            packed["row_valid"], qm, em, tm,
+        )
+        if int(count) == 0:
+            return None
+        rows = self._rows_to_dicts(
+            packed, np.asarray([int(argmax), int(argmin)]), np.asarray([True, True])
+        )
+        return {"max": rows[0], "min": rows[1] if len(rows) > 1 else rows[0],
+                "mean": float(mean), "count": int(count), "field": field}
 
     def expand(self, names: Sequence[str], limit: int = 30) -> list[dict]:
         """1-hop co-occurrence expansion from entity names (C20 traverse)."""

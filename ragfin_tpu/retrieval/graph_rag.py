@@ -211,6 +211,26 @@ def strategy_search(
     results: list[dict] = []
     strategy = "pattern_fallback"
 
+    # Extremum questions ("which quarter did X peak / hit its low") lower onto
+    # the device aggregation kernel — an enhancement over the reference,
+    # whose strategies could only list per-quarter rows (graph_cons.py TA05-
+    # style questions fell through to vector retrieval).
+    extremum = re.search(r"\b(peak|highest|best|maximum|lowest|worst|minimum|trough)\b", question, re.I)
+    if extremum and (segments or metrics or ratios or balance) and not quarters:
+        names = segments + metrics + ratios + balance
+        types = [SEGMENT] if segments else None
+        field = "aux" if (segments and re.search(r"margin", question, re.I)) else "value"
+        agg = graph.aggregate(names=names, types=types, field=field)
+        if agg:
+            word = extremum.group(1).lower()
+            key = "min" if word in ("lowest", "worst", "minimum", "trough") else "max"
+            trend = graph.match(names=names, types=types, limit=limit)
+            return {
+                "strategy": "extremum_aggregate",
+                "entities": entities,
+                "results": [dict(agg[key], extremum=key, mean=agg["mean"])] + trend[: limit - 1],
+            }
+
     if segments and len(quarters) > 1:
         strategy = "segment_multi_quarter"
         results = graph.match(quarters=quarters, names=segments, types=[SEGMENT], limit=limit)

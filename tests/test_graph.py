@@ -252,3 +252,34 @@ class TestComparePlan:
         engine = GraphQueryEngine(graph, FakeProvider(responder=lambda p: plan))
         out = asyncio.run(engine.query("growth into the far future?"))
         assert all("growth_pct" not in r for r in out["results"])
+
+
+class TestAggregation:
+    def test_peak_margin_quarter(self, graph):
+        """TA05-style: wholesale banking peak margin quarter (device argmax)."""
+        agg = graph.aggregate(names=["WHOLESALE BANKING SEGMENT"], types=[SEGMENT], field="aux")
+        assert agg is not None
+        assert agg["count"] == 4
+        # Reference data: wholesale margins by quarter — max must be a real row.
+        assert agg["max"]["segment_name"] == "WHOLESALE BANKING SEGMENT"
+        margins = {r["quarter"]: r["margin"] for r in graph.match(
+            names=["WHOLESALE BANKING SEGMENT"], types=[SEGMENT])}
+        assert agg["max"]["margin"] == max(margins.values())
+        assert agg["min"]["margin"] == min(margins.values())
+
+    def test_aggregate_no_match(self, graph):
+        assert graph.aggregate(names=["NONEXISTENT"], types=[SEGMENT]) is None
+
+    def test_extremum_strategy(self, graph):
+        out = strategy_search(graph, "In which quarter did wholesale banking achieve its peak margin?")
+        assert out["strategy"] == "extremum_aggregate"
+        top = out["results"][0]
+        assert top["extremum"] == "max"
+        assert top["segment_name"] == "WHOLESALE BANKING SEGMENT"
+
+    def test_lowest_strategy(self, graph):
+        out = strategy_search(graph, "Which quarter had the lowest net profit?")
+        assert out["strategy"] == "extremum_aggregate"
+        top = out["results"][0]
+        assert top["extremum"] == "min"
+        assert top["quarter"] == "Q1_FY2024"  # 10636 is the FY low

@@ -20,6 +20,11 @@ _NUM_RE = re.compile(r"-?\d[\d,]*(?:\.\d+)?")
 
 TOLERANCE_PCT = 2.0
 TOLERANCE_ABS_CRORE = 50.0
+# The ±₹50-crore absolute tolerance only applies to crore-scale absolute
+# values (reference guideline: "±2% for percentages, ±₹50 crore for absolute
+# values", qa_subset.json evaluation_guidelines). Percentages/ratios/EPS are
+# all < 100 in this dataset; crore figures are hundreds to tens of thousands.
+ABS_TOLERANCE_MIN_MAGNITUDE = 100.0
 
 
 def extract_numbers(text: str) -> list[float]:
@@ -34,14 +39,20 @@ def extract_numbers(text: str) -> list[float]:
 
 
 def number_matches(expected: float, candidates: Sequence[float]) -> bool:
-    """Tolerance match per the dataset guidelines (±2% or ±50 crore)."""
+    """Tolerance match per the dataset guidelines: ±2% relative always; the
+    ±₹50-crore absolute window only for crore-scale absolute values (applying
+    it to a percentage like 69.9 or an EPS like 15.22 would accept wildly
+    wrong answers)."""
     for c in candidates:
         if expected == 0:
-            if abs(c) <= TOLERANCE_ABS_CRORE:
+            if c == 0:
                 return True
         elif abs(c - expected) / abs(expected) * 100 <= TOLERANCE_PCT:
             return True
-        elif abs(c - expected) <= TOLERANCE_ABS_CRORE:
+        elif (
+            abs(expected) >= ABS_TOLERANCE_MIN_MAGNITUDE
+            and abs(c - expected) <= TOLERANCE_ABS_CRORE
+        ):
             return True
     return False
 
@@ -64,15 +75,44 @@ def token_overlap(answer: str, ground_truth: str) -> float:
     return len(a & g) / len(g) if g else 0.0
 
 
+def _derived_pool(context_nums: Sequence[float], cap: int = 256) -> list[float]:
+    """Figures derivable from pairs of context numbers: differences and
+    percent changes. An analytical answer that reports "+5.4% (from ₹26,306
+    to ₹27,719 crore)" is fully grounded — the delta is arithmetic over
+    context figures, exactly what an LLM-judge faithfulness check credits."""
+    nums = list(dict.fromkeys(context_nums))[:cap]
+    out: list[float] = []
+    for i, a in enumerate(nums):
+        for b in nums[i + 1:]:
+            out.append(abs(a - b))
+            if a:
+                out.append((b - a) / abs(a) * 100)
+            if b:
+                out.append((a - b) / abs(b) * 100)
+    return out
+
+
 def faithfulness(answer: str, contexts: Sequence[str]) -> Optional[float]:
     """Grounding proxy for the RAGAS faithfulness slot (C23): fraction of
     numbers in the answer that appear in the retrieved contexts (within the
-    dataset's numeric tolerance). None when the answer has no numbers."""
+    dataset's numeric tolerance) or are pairwise-derivable from them
+    (differences / percent changes — see :func:`_derived_pool`). None when
+    the answer has no numbers."""
     nums = extract_numbers(answer)
     if not nums:
         return None
     context_nums = extract_numbers(" ".join(contexts))
-    return sum(1 for n in nums if number_matches(n, context_nums)) / len(nums)
+    grounded = 0
+    derived: Optional[list[float]] = None
+    for n in nums:
+        if number_matches(n, context_nums):
+            grounded += 1
+            continue
+        if derived is None:
+            derived = _derived_pool(context_nums)
+        if number_matches(n, derived):
+            grounded += 1
+    return grounded / len(nums)
 
 
 @dataclass

@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -52,6 +53,23 @@ EDGE_NAMES = {
 }
 _PAD = 128
 
+_PERIOD_RE = re.compile(r"^Q([1-4])_FY(\d{4})$")
+
+
+def _period_key(period: str):
+    """Chronological sort key for ``Q#_FY####`` periods.
+
+    Returns (0, fiscal_year, quarter) for conforming periods so FY2024 Q4
+    precedes FY2025 Q1; non-conforming strings sort after, by raw string.
+    """
+    m = _PERIOD_RE.match(period or "")
+    if m:
+        return (0, int(m.group(2)), int(m.group(1)), "")
+    return (1, 0, 0, period or "")
+
+
+_RANK_MISS = jnp.int32(-0x80000000)  # sentinel strictly below any -row_idx
+
 
 @functools.partial(jax.jit, static_argnames=("limit",))
 def _match_kernel(
@@ -60,8 +78,10 @@ def _match_kernel(
 ):
     """Masked fact selection: returns (match_flags sorted-topk row ids).
 
-    Score = 1 for a row whose quarter, entity, and type are all enabled, else
-    -inf; tie-broken by ascending row id so results come back in CSR order
+    Ranking key is the int32 ``-row_idx`` (earlier rows rank higher), so row
+    order is exact for any row count — a float32 key would collapse distinct
+    rows past 2^24 (the 10M-chunk scale has multiple facts per chunk). Misses
+    get the int32-min sentinel. Results come back in CSR order
     (quarter-major), matching the reference's ``ORDER BY q.name``.
     """
     rows = quarter_ids.shape[0]
@@ -71,12 +91,12 @@ def _match_kernel(
         & type_mask[type_ids]
         & row_valid
     )
-    row_idx = jnp.arange(rows, dtype=jnp.float32)
-    score = jnp.where(hit, -row_idx, -jnp.inf)  # earlier rows rank higher
+    row_idx = jnp.arange(rows, dtype=jnp.int32)
+    score = jnp.where(hit, -row_idx, _RANK_MISS)
     k = min(limit, rows)
     top_scores, top_rows = jax.lax.top_k(score, k)
     count = jnp.sum(hit.astype(jnp.int32))
-    return top_rows.astype(jnp.int32), jnp.isfinite(top_scores), count
+    return top_rows.astype(jnp.int32), top_scores != _RANK_MISS, count
 
 
 @jax.jit
@@ -188,12 +208,14 @@ class GraphIndex:
     def _pack(self) -> dict[str, Any]:
         if self._packed is not None:
             return self._packed
-        # CSR order: quarter-major (lexicographic on the period string —
-        # chronological for Q#_FY#### and matching the reference's
-        # ``ORDER BY q.period``), then type, then insertion order.
+        # CSR order: quarter-major in true chronological order (parsed
+        # (fiscal_year, quarter) key — a lexicographic sort on the period
+        # string would put Q1_FY2025 before Q4_FY2024), then type, then
+        # insertion order. Matches the reference's ``ORDER BY q.period``
+        # intent across fiscal years.
         order = sorted(
             range(len(self._rows)),
-            key=lambda i: (self.quarters[self._rows[i][0]], self._rows[i][2], i),
+            key=lambda i: (_period_key(self.quarters[self._rows[i][0]]), self._rows[i][2], i),
         )
         rows = [self._rows[i] for i in order]
         n = len(rows)
@@ -210,7 +232,7 @@ class GraphIndex:
         quarter_ids = col(0, np.int32)
         # CSR row offsets over the chronologically sorted quarter sequence
         # (rows are packed in that order).
-        sorted_quarters = sorted(set(self.quarters[r[0]] for r in rows))
+        sorted_quarters = sorted(set(self.quarters[r[0]] for r in rows), key=_period_key)
         rank = {q: i for i, q in enumerate(sorted_quarters)}
         offsets = np.zeros((len(sorted_quarters) + 1,), np.int32)
         for r in rows:

@@ -42,10 +42,10 @@ _PRECISIONS = {
 
 
 def _score_mask(
-    scores: jax.Array, n_valid: Optional[int], row_mask: Optional[jax.Array] = None
+    scores: jax.Array, n_valid, row_mask: Optional[jax.Array] = None
 ) -> jax.Array:
     n = scores.shape[-1]
-    if n_valid is not None and n_valid < n:
+    if n_valid is not None and not (isinstance(n_valid, int) and n_valid >= n):
         ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
         scores = jnp.where(ids < n_valid, scores, NEG_INF)
     if row_mask is not None:
@@ -53,7 +53,18 @@ def _score_mask(
     return scores
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_valid", "precision"))
+def _limit(n_valid, n: int):
+    """Effective valid-column count; works for None, Python int, or a traced
+    scalar (the sharded path passes a per-shard count derived from
+    ``lax.axis_index``, so this must not require a static value)."""
+    if n_valid is None:
+        return n
+    if isinstance(n_valid, int):
+        return min(n_valid, n)
+    return jnp.minimum(jnp.asarray(n_valid, jnp.int32), n)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
 def cosine_topk_dense(
     queries: jax.Array,
     corpus_t: jax.Array,
@@ -78,7 +89,7 @@ def cosine_topk_dense(
     return top_scores, top_ids.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "n_valid", "precision"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "precision"))
 def cosine_topk_blocked(
     queries: jax.Array,
     corpus_t: jax.Array,
@@ -99,7 +110,7 @@ def cosine_topk_blocked(
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
     ct = jnp.pad(corpus_t, ((0, 0), (0, pad))) if pad else corpus_t
-    limit = min(n_valid, n) if n_valid is not None else n
+    limit = _limit(n_valid, n)
 
     def step(carry, blk_idx):
         run_scores, run_ids = carry
@@ -214,12 +225,12 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_valid", "block_q", "block_n", "precision", "interpret"),
+    static_argnames=("k", "block_q", "block_n", "precision", "interpret"),
 )
 def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret):
     q, d = queries.shape
     n = corpus_t.shape[1]
-    limit = min(n_valid, n) if n_valid is not None else n
+    limit = _limit(n_valid, n)
 
     pad_q = -q % block_q
     pad_n = -n % block_n
@@ -259,7 +270,7 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.array([limit], dtype=jnp.int32), queries, corpus_t)
+    )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), queries, corpus_t)
     return out_s[:q], out_i[:q]
 
 
@@ -332,14 +343,14 @@ def _fused_kernel_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_valid", "block_q", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
 )
 def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret):
     from .quantize import quantize_queries
 
     q, d = queries.shape
     n = corpus_i8.shape[1]
-    limit = min(n_valid, n) if n_valid is not None else n
+    limit = _limit(n_valid, n)
 
     q8, qscale = quantize_queries(queries)
     pad_q = -q % block_q
@@ -382,7 +393,7 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
             flops=2 * qp * np_ * d, bytes_accessed=np_ * d, transcendentals=0
         ),
         interpret=interpret,
-    )(jnp.array([limit], dtype=jnp.int32), q8, qscale, corpus_i8, scales)
+    )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), q8, qscale, corpus_i8, scales)
     return out_s[:q], out_i[:q]
 
 

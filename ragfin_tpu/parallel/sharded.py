@@ -49,7 +49,10 @@ def sharded_cosine_topk(
 
     def _merge(q, s, i, base):
         gids = i + base
-        s = jnp.where(gids < n_valid, s, topk_ops.NEG_INF)
+        # Safety net: invalid candidates were already masked to -inf before
+        # the local k-select (see `local`); re-mask here in case a fully-pad
+        # shard returned sentinel ids (which may wrap past int32 when offset).
+        s = jnp.where((gids >= 0) & (gids < n_valid), s, topk_ops.NEG_INF)
         # Candidate merge across shards rides ICI: P*k pairs per query.
         cand_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, P*k]
         cand_i = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -66,8 +69,14 @@ def sharded_cosine_topk(
 
         def local_int8(q, ct_local, scales_local):
             shard = jax.lax.axis_index(axis)
-            s, i = topk_ops.cosine_topk_fused_int8(q, ct_local, scales_local, local_k)
-            return _merge(q, s, i, shard * shard_cols)
+            base = shard * shard_cols
+            # Mask pad columns BEFORE the local k-select: zero-pads score 0.0
+            # and would displace valid negative-cosine candidates otherwise.
+            lv = jnp.clip(n_valid - base, 0, shard_cols)
+            s, i = topk_ops.cosine_topk_fused_int8(
+                q, ct_local, scales_local, local_k, n_valid=lv
+            )
+            return _merge(q, s, i, base)
 
         fn = shard_map(
             local_int8,
@@ -80,14 +89,23 @@ def sharded_cosine_topk(
 
     def local(q, ct_local):
         shard = jax.lax.axis_index(axis)
-        # Local k-select; padded columns handled by global-id masking in merge.
+        base = shard * shard_cols
+        # Mask pad columns BEFORE the local k-select: zero-pads score 0.0
+        # and would displace valid negative-cosine candidates otherwise.
+        lv = jnp.clip(n_valid - base, 0, shard_cols)
         if method == "fused":
-            s, i = topk_ops.cosine_topk_fused(q, ct_local, local_k, precision=precision)
+            s, i = topk_ops.cosine_topk_fused(
+                q, ct_local, local_k, n_valid=lv, precision=precision
+            )
         elif method == "blocked":
-            s, i = topk_ops.cosine_topk_blocked(q, ct_local, local_k, precision=precision)
+            s, i = topk_ops.cosine_topk_blocked(
+                q, ct_local, local_k, n_valid=lv, precision=precision
+            )
         else:
-            s, i = topk_ops.cosine_topk_dense(q, ct_local, local_k, precision=precision)
-        return _merge(q, s, i, shard * shard_cols)
+            s, i = topk_ops.cosine_topk_dense(
+                q, ct_local, local_k, n_valid=lv, precision=precision
+            )
+        return _merge(q, s, i, base)
 
     fn = shard_map(
         local,
@@ -134,6 +152,10 @@ class ShardedVectorIndex:
         self.matrix_t = jax.device_put(jnp.asarray(embeddings.T, dtype=dtype), sharding)
         self.records = list(records)
         self._by_id = {r.id: i for i, r in enumerate(self.records)}
+        # Query-encoding backends; populated by from_dense() or assignable.
+        self.embedder = None
+        self.encoder = None
+        self.featurizer = None
 
     @classmethod
     def from_dense(cls, index, mesh: Optional[Mesh] = None, **kwargs) -> "ShardedVectorIndex":
@@ -166,8 +188,19 @@ class ShardedVectorIndex:
     def search_texts(self, queries, top_k: int = 3, method: str = "dense"):
         from ..index.vector_index import SearchHit
 
-        ids, wts = self.featurizer.encode_batch(list(queries))
-        q = self.encoder.encode(ids, wts)
+        # Mirror DeviceVectorIndex.search_texts: prefer the semantic embedder
+        # when the source index carried one (featurizer/encoder are None then).
+        embedder = getattr(self, "embedder", None)
+        if embedder is not None:
+            q = embedder.encode_texts(list(queries))
+        elif self.featurizer is not None and self.encoder is not None:
+            ids, wts = self.featurizer.encode_batch(list(queries))
+            q = self.encoder.encode(ids, wts)
+        else:
+            raise ValueError(
+                "ShardedVectorIndex has no embedder or featurizer/encoder; "
+                "construct via from_dense() or assign one before search_texts"
+            )
         scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
         scores, rows = np.asarray(scores), np.asarray(rows)
         out = []

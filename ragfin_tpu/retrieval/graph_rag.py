@@ -36,7 +36,7 @@ from ..extraction.service import (
     clean_llm_json,
     convert_structured_to_entities,
 )
-from ..index.graph_index import BALANCE, METRIC, RATIO, SEGMENT, GraphIndex
+from ..index.graph_index import BALANCE, METRIC, RATIO, SEGMENT, GraphIndex, _period_key
 from ..llm.providers import LLMProvider
 
 # ---------------------------------------------------------------------------
@@ -315,7 +315,7 @@ class GraphQueryEngine:
 
     def fallback_plan(self, limit: int) -> dict:
         """Reference fallback: latest metrics (graph_service.py:249-256)."""
-        quarters = sorted(self.graph.quarters, reverse=True)[:1]
+        quarters = sorted(self.graph.quarters, key=_period_key, reverse=True)[:1]
         return {"quarters": [], "names": [], "types": ["metrics"], "limit": limit,
                 "order": "quarter_desc", "_fallback": True, "_latest": quarters}
 
@@ -331,7 +331,7 @@ class GraphQueryEngine:
             limit=int(plan.get("limit", 10)),
         )
         if plan.get("order") == "quarter_desc":
-            results = sorted(results, key=lambda r: r.get("quarter", ""), reverse=True)
+            results = sorted(results, key=lambda r: _period_key(r.get("quarter", "")), reverse=True)
         return results
 
     def _execute_compare(self, compare: dict) -> list[dict]:

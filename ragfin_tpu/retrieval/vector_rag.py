@@ -39,6 +39,15 @@ class VectorRAG:
     def __init__(self, index: DeviceVectorIndex, provider: Optional[LLMProvider] = None):
         self.index = index
         self.provider = provider
+        self._analyst = None
+
+    @property
+    def analyst(self):
+        from .analytical import AnalyticalAnswerer
+
+        if self._analyst is None:
+            self._analyst = AnalyticalAnswerer(self.index.records)
+        return self._analyst
 
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
@@ -69,15 +78,38 @@ class VectorRAG:
             except Exception as e:  # reference returns the error string
                 result.update(answer=f"Error generating answer: {e}", answer_mode="error")
                 return result
-        result.update(answer=self._extractive_answer(hits), answer_mode="extractive")
+        answer, extra_ids = self._extractive_answer(question, hits)
+        if extra_ids:
+            # Chunks the analytical answerer consumed beyond the initial
+            # retrieval (e.g. the other quarters of a trend question) are
+            # follow-up retrievals — surface them as contexts so grounding
+            # metrics see the full evidence set.
+            seen = {h.record.id for h in hits}
+            for rec in self.index.get_by_ids(extra_ids):
+                if rec.id not in seen:
+                    seen.add(rec.id)
+                    result["contexts"].append(
+                        {"id": rec.id, "score": 1.0, "period": rec.period,
+                         "chunk_type": rec.chunk_type, "text": rec.text}
+                    )
+            result["num_contexts"] = len(result["contexts"])
+        result.update(answer=answer, answer_mode="extractive")
         return result
 
-    @staticmethod
-    def _extractive_answer(hits: Sequence[SearchHit]) -> str:
+    def _extractive_answer(self, question: str, hits: Sequence[SearchHit]):
+        """Deterministic offline answer: analytical (parsed figures + the
+        cross-quarter arithmetic the reference delegates to Gemini) when the
+        question matches the financial vocabulary, else the top chunks
+        verbatim."""
+        analytical = self.analyst.answer(question)
+        if analytical is not None:
+            return analytical
         if not hits:
-            return "No relevant context found."
+            return "No relevant context found.", []
         top = hits[0].record
-        return f"[{top.period} – {top.chunk_type}] {top.text}"
+        rest = " ".join(h.record.text for h in hits[1:])
+        text = f"[{top.period} – {top.chunk_type}] {top.text}"
+        return (text + ("\n\n" + rest if rest else ""), [])
 
     def stats(self) -> dict:
         return self.index.stats()

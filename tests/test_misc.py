@@ -126,8 +126,10 @@ class TestAnswerEval:
         rag = VectorRAG(DeviceVectorIndex.build(chunks))
         qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
         out = asyncio.run(evaluate_answers(rag, qa, top_k=3))
-        # Offline extractive answers recover >80% of ground-truth figures.
-        assert out["answer_accuracy_mean"] > 0.8
+        # Offline analytical answers recover >95% of ground-truth figures
+        # under the honest tolerance rules (±2% relative; ±₹50 crore only
+        # for crore-scale absolutes).
+        assert out["answer_accuracy_mean"] > 0.95
         assert out["numeric_questions"] == 40
 
 
@@ -225,7 +227,9 @@ class TestFaithfulness:
         assert faithfulness("no numbers", ["context"]) is None
 
     def test_extractive_answers_fully_grounded(self, reference_root):
-        """Extractive answers quote the context verbatim → faithfulness 1.0."""
+        """Analytical answers quote context figures or derive them by
+        pairwise arithmetic → grounding stays ≥0.95 (derived-figure credit,
+        eval/answers.py:_derived_pool)."""
         import asyncio
         import os
 
@@ -239,7 +243,7 @@ class TestFaithfulness:
         rag = VectorRAG(DeviceVectorIndex.build(chunks))
         qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))[:8]
         out = asyncio.run(evaluate_answers(rag, qa, top_k=3))
-        assert out["faithfulness_mean"] == 1.0
+        assert out["faithfulness_mean"] >= 0.95
         assert len(out["detailed_results"]) == 8
         assert {"question_id", "generated_answer", "retrieved_chunks"} <= set(out["detailed_results"][0])
 

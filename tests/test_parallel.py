@@ -50,6 +50,58 @@ class TestShardedTopk:
         assert int(np.max(np.asarray(i))) < n
         assert list(np.asarray(i)[:, 0]) == [0, 1, 2]  # self-retrieval
 
+    @pytest.mark.parametrize("method", ["dense", "blocked", "fused"])
+    def test_pads_never_displace_negative_scores(self, mesh, method):
+        """Regression (advisor round 1): zero-pad columns score 0.0 and used
+        to win the per-shard local top-k over valid negative-cosine
+        candidates. All-negative-similarity corpus + ~98% padding must still
+        return the true (negative-score) top-k, matching the oracle."""
+        rng = np.random.default_rng(7)
+        n, d, k = 100, 32, 5
+        base = _unit(rng, 1, d)[0]
+        # Corpus points all lie in the half-space opposite the query.
+        corpus = _unit(rng, n, d)
+        corpus = corpus - 2 * np.maximum(corpus @ base, 0)[:, None] * base
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = base[None, :]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad = -n % (8 * 128)  # default pad_multiple → ~98% pad columns
+        ct_np = np.pad(corpus.T, ((0, 0), (0, pad)))
+        ct = jax.device_put(jnp.asarray(ct_np), NamedSharding(mesh, P(None, "data")))
+        s, i = sharded_cosine_topk(
+            mesh, "data", jnp.asarray(queries), ct, k, n_valid=n, method=method
+        )
+        s_ref, i_ref = cosine_topk_dense(jnp.asarray(queries), jnp.asarray(corpus.T.copy()), k)
+        assert np.array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
+        assert float(np.max(np.asarray(s))) < 0.0  # genuinely negative scores
+
+    def test_pads_never_displace_negative_scores_int8(self, mesh):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+
+        rng = np.random.default_rng(8)
+        n, d, k = 96, 32, 5
+        base = _unit(rng, 1, d)[0]
+        corpus = _unit(rng, n, d)
+        corpus = corpus - 2 * np.maximum(corpus @ base, 0)[:, None] * base
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = base[None, :]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad = -n % (8 * 128)
+        ct_np = np.pad(corpus.T, ((0, 0), (0, pad))).astype(np.float32)
+        c8, sc = quantize_corpus_t(jnp.asarray(ct_np))
+        sharding = NamedSharding(mesh, P(None, "data"))
+        c8 = jax.device_put(c8, sharding)
+        sc = jax.device_put(sc, sharding)
+        s, i = sharded_cosine_topk(
+            mesh, "data", jnp.asarray(queries), c8, k, n_valid=n, method="int8", scales=sc
+        )
+        s_ref, i_ref = cosine_topk_dense(jnp.asarray(queries), jnp.asarray(corpus.T.copy()), k)
+        assert np.array_equal(np.asarray(i), np.asarray(i_ref))
+        assert float(np.max(np.asarray(s))) < 0.0
+
 
 class TestShardedIndex:
     def test_from_dense_same_results(self, mesh, reference_root):

@@ -141,26 +141,55 @@ def cosine_topk_blocked(
 # ---------------------------------------------------------------------------
 
 
-def _topk_extract(scores: jax.Array, global_ids: jax.Array, k: int):
-    """Iteratively extract the k best (score, id) pairs along the last axis.
+def _sorted_insert(acc_s, acc_i, s, ids, k: int):
+    """Insert one (score, id) candidate per row into the sorted-descending
+    running top-k, keeping it sorted. Stable: an incumbent with equal score
+    and lower id stays ahead of the candidate; insertion past slot k-1 drops
+    the candidate (position == k selects no slot). O(k) vector ops — no
+    gathers (Mosaic does not lower take_along_axis)."""
+    better = (acc_s > s[:, None]) | ((acc_s == s[:, None]) & (acc_i < ids[:, None]))
+    pos = jnp.sum(better.astype(jnp.int32), axis=-1, keepdims=True)  # [R, 1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, acc_s.shape, 1)
+    # Shift-right view: slot t holds acc[t-1] (t=0 never selected below).
+    shift_s = jnp.concatenate([acc_s[:, :1], acc_s[:, :-1]], axis=1)
+    shift_i = jnp.concatenate([acc_i[:, :1], acc_i[:, :-1]], axis=1)
+    new_s = jnp.where(slot == pos, s[:, None], jnp.where(slot < pos, acc_s, shift_s))
+    new_i = jnp.where(slot == pos, ids[:, None], jnp.where(slot < pos, acc_i, shift_i))
+    return new_s, new_i
 
-    k passes of max+select+mask on a VMEM-resident tile. Gather-free (Mosaic
-    does not lower take_along_axis gathers): the winning id is recovered with
-    a masked min-reduction, which also breaks score ties toward the lowest id,
-    matching a stable descending sort.
-    """
-    out_s = []
-    out_i = []
-    int_max = jnp.int32(_INT_MAX)
-    for _ in range(k):
-        best = jnp.max(scores, axis=-1, keepdims=True)  # [R, 1]
-        chosen = jnp.min(
-            jnp.where(scores >= best, global_ids, int_max), axis=-1, keepdims=True
-        )  # [R, 1] lowest id among the maxima
-        out_s.append(best[:, 0])
-        out_i.append(chosen[:, 0])
-        scores = jnp.where(global_ids == chosen, NEG_INF, scores)
-    return jnp.stack(out_s, axis=-1), jnp.stack(out_i, axis=-1)
+
+def _stream_merge(scores, col0, acc_s, acc_i, k: int):
+    """Merge a [R, TN] score tile into the sorted running top-k.
+
+    One candidate per row per iteration: extract the row max (argmax breaks
+    ties toward the lowest id), sorted-insert it, mask it out, repeat while
+    any row can still improve. Expected iterations per tile fall like k/j on
+    shuffled corpora (j = tiles seen), so the steady-state tile cost is one
+    matmul + one row-max — the HBM-bandwidth speed-of-light. The strict ``>``
+    improvement test is exact: global ids grow with the tile index, so a
+    later candidate that ties the kth score always loses the tie-break and
+    can never belong in the top-k. (This also stops zero-score query pad
+    rows from forcing a merge on every tile, which the previous ``>=`` k-pass
+    extraction paid for.)"""
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    def cond(state):
+        _, a_s, _, row_max = state
+        return jnp.any(row_max > a_s[:, k - 1])
+
+    def body(state):
+        sc, a_s, a_i, row_max = state
+        win = jnp.argmax(sc, axis=-1).astype(jnp.int32)  # first max = lowest id
+        ids = win + col0
+        a_s, a_i = _sorted_insert(a_s, a_i, row_max, ids, k)
+        sc = jnp.where(iota == win[:, None], NEG_INF, sc)
+        return sc, a_s, a_i, jnp.max(sc, axis=-1)
+
+    row_max = jnp.max(scores, axis=-1)
+    _, new_s, new_i, _ = jax.lax.while_loop(
+        cond, body, (scores, acc_s, acc_i, row_max)
+    )
+    return new_s, new_i
 
 
 def _fused_kernel(
@@ -179,12 +208,12 @@ def _fused_kernel(
     """Grid = (Q tiles, N tiles); N is the minor (fastest) dimension.
 
     Per query tile the kernel walks the corpus column-tiles, keeping the
-    running top-k (scores & global ids) in VMEM scratch. The [TQ, TN] score
-    tile is consumed on-chip right after the MXU produces it. A cheap
-    row-max threshold test skips the k-pass selection for tiles that cannot
-    improve the current top-k — on shuffled corpora almost every tile after
-    the first few is skipped, so the steady-state cost is one matmul + one
-    row-max per tile (bandwidth-bound, the speed-of-light for exact search).
+    sorted running top-k (scores & global ids) in VMEM scratch. The [TQ, TN]
+    score tile is consumed on-chip right after the MXU produces it via the
+    streaming merge (:func:`_stream_merge`): tiles that cannot improve the
+    top-k cost one matmul + one row-max (the while-loop condition fails
+    immediately), so the steady-state cost is HBM-bandwidth-bound — the
+    speed-of-light for exact search.
     """
     j = pl.program_id(1)
 
@@ -199,23 +228,13 @@ def _fused_kernel(
         preferred_element_type=jnp.float32,
         precision=_PRECISIONS[precision],
     )
-    local_ids = j * block_n + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    col0 = j * block_n
+    local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    row_max = jnp.max(scores, axis=-1)  # [TQ]
-    kth_best = acc_s[:, k - 1]  # [TQ]
-    # >= not >: a tile that exactly ties the kth score can still hold a
-    # lower id that stable descending order must prefer.
-    improves = jnp.any(row_max >= kth_best)
-
-    @pl.when(improves)
-    def _merge():
-        tile_s, tile_i = _topk_extract(scores, local_ids, min(k, block_n))
-        cat_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
-        cat_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
-        new_s, new_i = _topk_extract(cat_s, cat_i, k)
-        acc_s[:] = new_s
-        acc_i[:] = new_i
+    new_s, new_i = _stream_merge(scores, col0, acc_s[:], acc_i[:], k)
+    acc_s[:] = new_s
+    acc_i[:] = new_i
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _flush():
@@ -321,20 +340,13 @@ def _fused_kernel_int8(
 
     int_scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.int32)
     scores = int_scores.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-    local_ids = j * block_n + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    col0 = j * block_n
+    local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    row_max = jnp.max(scores, axis=-1)
-    improves = jnp.any(row_max >= acc_s[:, k - 1])
-
-    @pl.when(improves)
-    def _merge():
-        tile_s, tile_i = _topk_extract(scores, local_ids, min(k, block_n))
-        cat_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
-        cat_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
-        new_s, new_i = _topk_extract(cat_s, cat_i, k)
-        acc_s[:] = new_s
-        acc_i[:] = new_i
+    new_s, new_i = _stream_merge(scores, col0, acc_s[:], acc_i[:], k)
+    acc_s[:] = new_s
+    acc_i[:] = new_i
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _flush():

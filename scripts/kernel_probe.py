@@ -22,6 +22,10 @@ N, D, K = int(os.environ.get("PROBE_N", 1_000_000)), 384, 10
 LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe_results.log")
 
 EXPERIMENTS = {
+    # Small-N compile canary: proves Mosaic compiles the fused kernel and the
+    # tunnel round-trips, in seconds not minutes. Logged like any experiment.
+    "canary_fused_64k": ("bf16", 2048, 8),
+    "canary_int8_64k": ("int8", 2048, 8),
     "bf16_bn2048_q64": ("bf16", 2048, 64),
     "bf16_bn4096_q64": ("bf16", 4096, 64),
     "bf16_bn8192_q64": ("bf16", 8192, 64),
@@ -34,8 +38,40 @@ EXPERIMENTS = {
 }
 
 
+def _stage(msg: str) -> None:
+    print(f"[probe {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def oracle_check() -> None:
+    """Correctness ON HARDWARE: compare fused-kernel ids/scores against the
+    dense XLA path on the real chip at N=65536 (the CPU tests only cover
+    interpret mode; Mosaic lowering differences would show up here)."""
+    n, q, k = 65536, 64, 10
+    key = jax.random.PRNGKey(3)
+    ct = jax.random.normal(key, (D, n), jnp.float32)
+    ct = ct / jnp.linalg.norm(ct, axis=0, keepdims=True)
+    qs = jax.random.normal(jax.random.PRNGKey(4), (q, D), jnp.float32)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    sf, if_ = T.cosine_topk_fused(qs, ct, k, precision="exact")
+    sd, id_ = T.cosine_topk_dense(qs, ct, k, precision="exact")
+    ids_match = bool(jnp.all(if_ == id_))
+    score_err = float(jnp.max(jnp.abs(sf - sd)))
+    line = f"oracle_check N={n}: ids_match={ids_match} max_score_err={score_err:.2e}"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+    assert ids_match
+
+
 def main(name: str) -> None:
+    global N
+    if name == "oracle_check":
+        _stage(f"start oracle_check backend={jax.default_backend()}")
+        return oracle_check()
     dtype, block_n, q = EXPERIMENTS[name]
+    if name.startswith("canary"):
+        N = 65536
+    _stage(f"start {name} N={N} backend={jax.default_backend()}")
 
     @jax.jit
     def gen(key):
@@ -51,6 +87,7 @@ def main(name: str) -> None:
     else:
         inner = lambda qq: T.cosine_topk_fused(qq, ct, K, precision="fast", block_n=block_n)
         np.asarray(ct[0, 0])
+    _stage("corpus generated + settled")
 
     R = 16
     keys = jax.random.split(jax.random.PRNGKey(1), R)
@@ -65,7 +102,9 @@ def main(name: str) -> None:
         acc, _ = jax.lax.scan(step, 0.0, qs)
         return acc
 
+    _stage("compiling + warmup")
     np.asarray(run(qs))
+    _stage("warm; timing")
     t0 = time.perf_counter()
     np.asarray(run(qs))
     dt = (time.perf_counter() - t0) / R

@@ -78,6 +78,38 @@ class TestPadding:
         s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), 4, block_q=8, block_n=256)
         assert s.shape == (9, 4) and i.shape == (9, 4)
 
+    def test_adversarial_ascending_scores(self):
+        """Worst case for the streaming merge: scores strictly increase with
+        id, so every tile improves the running top-k k times."""
+        rng = np.random.default_rng(5)
+        d, n, k = 16, 1024, 7
+        q = _random_unit(rng, 3, d)
+        base = _random_unit(rng, n, d)
+        # Sort corpus columns by score against query 0 → ascending ids win.
+        order = np.argsort(q[0] @ base.T)
+        c = base[order].T.copy()
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_tie_heavy_scores(self):
+        """Quantized values produce massive exact-score ties; stable
+        descending order (lowest id first) must hold across tile boundaries."""
+        rng = np.random.default_rng(6)
+        d, n, k = 8, 640, 9
+        # Corpus columns drawn from only 4 distinct vectors → 4 score levels.
+        pool = _random_unit(rng, 4, d)
+        picks = rng.integers(0, 4, n)
+        c = pool[picks].T.copy().astype(np.float32)
+        q = _random_unit(rng, 2, d)
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+        sb, ib = cosine_topk_blocked(jnp.asarray(q), jnp.asarray(c), k, block=96)
+        assert np.array_equal(np.asarray(ib), ei)
+
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)
         q = _random_unit(rng, 2, 16)

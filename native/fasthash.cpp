@@ -78,7 +78,12 @@ void tokenize(const char* text, std::vector<std::string>* out) {
           }
         }
       }
-      out->push_back(tok);
+      // Data-value numbers are not retrieval keys (mirrors Python
+      // featurizer._is_retrieval_token): decimals and integers >= 5 digits
+      // are dropped before unigram/bigram formation.
+      if (tok.find('.') == std::string::npos && tok.size() < 5) {
+        out->push_back(tok);
+      }
     } else if (is_alpha(c)) {
       tok.clear();
       while (i < n && is_alpha(text[i])) {

@@ -82,7 +82,14 @@ def cmd_eval(args) -> int:
         questions = load_qa_subset(args.path or "/root/reference/qa_subset.json")
     else:
         questions = load_vector_eval(args.path or "/root/reference/vector_rag_evaluation_dataset.json")
-    report = evaluate_retrieval(engine.vector_index, questions, k=args.k)
+    # Evaluate the production retrieval pipeline (query filters + exact
+    # rerank) — what VectorRAG serves; --raw ablates to bare embedding search.
+    searcher = engine.vector_index
+    if not getattr(args, "raw", False) and getattr(searcher, "featurizer", None) is not None:
+        from .retrieval.queryfilter import FilteredSearch
+
+        searcher = FilteredSearch(searcher)
+    report = evaluate_retrieval(searcher, questions, k=args.k)
     summary = report.summary()
     print(json.dumps(summary, indent=2))
     if args.summary:
@@ -161,6 +168,7 @@ def main(argv=None) -> int:
     p.add_argument("--path", default=None)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--min-recall", type=float, default=0.0)
+    p.add_argument("--raw", action="store_true", help="bypass query filters/rerank (embedding-only ablation)")
     p.add_argument("--summary", default=None, help="write research-summary JSON here")
     p.add_argument("--data", default="extract_data")
     p.add_argument("--index", default="")

@@ -54,6 +54,10 @@ class IndexedChunk(BaseModel):
     chunk_type: str
     statement_type: str = "consolidated"
     primary_value: float = 0.0
+    # Tenant/company scope (the reference's KG `company_name` /
+    # `dataset_id` concept, neo4j_service.py:48, applied to the vector
+    # store): enables company-scoped retrieval in multi-company corpora.
+    company: str = "ICICI Bank"
 
     def to_financial_chunk(self) -> FinancialChunk:
         return FinancialChunk(

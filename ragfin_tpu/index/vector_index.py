@@ -148,25 +148,86 @@ class DeviceVectorIndex:
             return cosine_topk_fused_int8(q, self.matrix_t, self.scales, k, n_valid=self.n)
         return cosine_topk(q, self.matrix_t, k, n_valid=self.n, method=method)
 
+    def _meta_arrays(self):
+        """Vectorized metadata columns (built lazily, cached): categorical
+        period/chunk_type codes so million-row filter masks are numpy ops,
+        not Python loops."""
+        cached = getattr(self, "_meta", None)
+        if cached is None or cached[0] != len(self.records):
+            periods = np.array([r.period for r in self.records])
+            ctypes = np.array([r.chunk_type for r in self.records])
+            companies = np.array([getattr(r, "company", "ICICI Bank") for r in self.records])
+            cached = (len(self.records), periods, ctypes, companies)
+            self._meta = cached
+        return cached[1], cached[2], cached[3]
+
     def _filter_mask(
         self,
         period: Optional[str] = None,
         chunk_type: Optional[str] = None,
         predicate=None,
+        periods: Optional[Sequence[str]] = None,
+        company: Optional[str] = None,
     ) -> Optional[np.ndarray]:
-        """Metadata filter → row mask (Milvus filter-expression capability)."""
-        if period is None and chunk_type is None and predicate is None:
+        """Metadata filter → row mask (Milvus filter-expression capability).
+
+        ``periods`` (a list) expresses the Milvus ``period in [...]`` form
+        used by multi-quarter questions; ``period`` is the single-value
+        shorthand. All conditions AND together."""
+        if (
+            period is None and chunk_type is None and predicate is None
+            and not periods and company is None
+        ):
             return None
-        mask = np.zeros((int(self.matrix_t.shape[1]),), bool)
-        for i, r in enumerate(self.records):
-            if period is not None and r.period != period:
-                continue
-            if chunk_type is not None and r.chunk_type != chunk_type:
-                continue
-            if predicate is not None and not predicate(r):
-                continue
-            mask[i] = True
-        return mask
+        n_pad = int(self.matrix_t.shape[1])
+        period_arr, ctype_arr, company_arr = self._meta_arrays()
+        mask = np.ones((len(self.records),), bool)
+        want = list(periods) if periods else ([period] if period else None)
+        if want is not None:
+            mask &= np.isin(period_arr, want)
+        if chunk_type is not None:
+            mask &= ctype_arr == chunk_type
+        if company is not None:
+            mask &= company_arr == company
+        if predicate is not None:
+            for i in np.nonzero(mask)[0]:
+                if not predicate(self.records[int(i)]):
+                    mask[i] = False
+        out = np.zeros((n_pad,), bool)
+        out[: len(self.records)] = mask
+        return out
+
+    def _sparse_rerank(self, query: str, hits: list, top_k: int) -> list:
+        """Exact sparse TF-IDF cosine re-rank of a device shortlist.
+
+        The hashed backend's device scores are a Johnson-Lindenstrauss
+        approximation of TF-IDF cosine (models/featurizer.py); at million-
+        chunk scale the JL error (~1/sqrt(384)) exceeds the true score gaps
+        between near-duplicate candidates. Re-scoring the shortlist exactly
+        on host removes the projection noise — the standard coarse-then-exact
+        two-stage retrieval design."""
+        featurizer = getattr(self, "featurizer", None)
+        if featurizer is None or not hits:
+            return hits[:top_k]
+        texts = [query] + [h.record.text for h in hits]
+        ids, wts = featurizer.encode_batch(texts)
+        norms = np.linalg.norm(wts, axis=1, keepdims=True)
+        wts = wts / np.maximum(norms, 1e-12)
+        qv = dict(zip(ids[0].tolist(), wts[0].tolist()))
+        rescored = []
+        for row, h in enumerate(hits, start=1):
+            s = 0.0
+            for fid, w in zip(ids[row], wts[row]):
+                if w:
+                    s += w * qv.get(int(fid), 0.0)
+            rescored.append((-s, h.record.id, h, s))
+        rescored.sort(key=lambda t: (t[0], t[1]))
+        out = []
+        for rank, (_, _, h, s) in enumerate(rescored[:top_k]):
+            h.score = float(s)
+            h.rank = rank
+            out.append(h)
+        return out
 
     def search_texts(
         self,
@@ -176,14 +237,21 @@ class DeviceVectorIndex:
         period: Optional[str] = None,
         chunk_type: Optional[str] = None,
         predicate=None,
+        periods: Optional[Sequence[str]] = None,
+        company: Optional[str] = None,
+        rerank: int = 0,
     ) -> list[list[SearchHit]]:
         """Encode query texts with the index's featurizer+encoder and search.
 
         Mirrors ``collection.search(...)`` with COSINE + output fields
-        (retrieve.py:28-34); ``period``/``chunk_type``/``predicate`` add
-        metadata-filtered search (Milvus filter expressions). Filtered
-        searches on a quantized index run through the dense path over the
-        dequantized matrix.
+        (retrieve.py:28-34); ``period``/``periods``/``chunk_type``/
+        ``predicate`` add metadata-filtered search (Milvus filter
+        expressions). ``rerank=R > 0`` fetches a device shortlist of R
+        candidates and exactly re-scores them with sparse TF-IDF cosine on
+        host (hashed backend only) — removes the JL projection noise that
+        dominates ranking among near-duplicates at large corpus scale.
+        Filtered searches on a quantized index run through the dense path
+        over the dequantized matrix.
         """
         embedder = getattr(self, "embedder", None)
         if embedder is not None:
@@ -191,7 +259,10 @@ class DeviceVectorIndex:
         else:
             ids, wts = self.featurizer.encode_batch(list(queries))
             q = self.encoder.encode(ids, wts)
-        mask = self._filter_mask(period, chunk_type, predicate)
+        fetch_k = max(top_k, rerank)
+        mask = self._filter_mask(
+            period, chunk_type, predicate, periods=periods, company=company
+        )
         if mask is not None:
             from ..ops.topk import cosine_topk_dense
 
@@ -201,12 +272,12 @@ class DeviceVectorIndex:
             scores, rows = cosine_topk_dense(
                 jnp.asarray(q, jnp.float32),
                 matrix,
-                min(top_k, max(self.n, 1)),
+                min(fetch_k, max(self.n, 1)),
                 n_valid=self.n,
                 row_mask=jnp.asarray(mask),
             )
         else:
-            scores, rows = self.search_embeddings(q, top_k=top_k, method=method)
+            scores, rows = self.search_embeddings(q, top_k=fetch_k, method=method)
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         out = []
@@ -217,6 +288,11 @@ class DeviceVectorIndex:
                 if row >= self.n or not np.isfinite(scores[qi, rank]):
                     continue
                 hits.append(SearchHit(float(scores[qi, rank]), self.records[row], rank))
+            if rerank:
+                # No-op for semantic (featurizer-less) backends.
+                hits = self._sparse_rerank(queries[qi], hits, top_k)
+            else:
+                hits = hits[:top_k]
             out.append(hits)
         return out
 

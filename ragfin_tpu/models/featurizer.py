@@ -49,9 +49,33 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN.findall(_COMMA_IN_NUMBER.sub("", text.lower()))
 
 
+def _is_retrieval_token(tok: str) -> bool:
+    """Data-value numbers are not retrieval keys.
+
+    Decimal numbers (44.0, 15.22) and long integers (10636 crore) are answer
+    payload: queries never quote them, and at million-chunk scale their
+    near-unique feature ids saturate the hash table — every bucket aliases
+    ~dozens of them, corrupting IDF and injecting large spurious cosine hits
+    on random documents (measured: a colliding query bigram contributed 8x
+    more score than the true 'icici' match). Short integers stay: quarter
+    digits, fiscal years, and small counts are genuine retrieval keys.
+    """
+    if "." in tok:
+        return False
+    if tok[0].isdigit() and len(tok) >= 5:
+        return False
+    return True
+
+
+def retrieval_tokens(text: str) -> list[str]:
+    """Tokens used for features: tokenize() minus data-value numbers.
+    Mirrored bit-for-bit by native/fasthash.cpp."""
+    return [t for t in tokenize(text) if _is_retrieval_token(t)]
+
+
 def features(text: str) -> list[str]:
     """Unigrams + adjacent-word bigrams ("net profit" → "net_profit")."""
-    toks = tokenize(text)
+    toks = retrieval_tokens(text)
     return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
 
 
@@ -73,7 +97,7 @@ class HashedFeaturizer:
 
     def feature_ids(self, text: str) -> Counter:
         counts: Counter = Counter()
-        toks = tokenize(text)
+        toks = retrieval_tokens(text)
         for tok in toks:
             counts[fnv1a64(tok.encode()) % self.vocab_size] += 1.0
         if self.bigram_weight:

@@ -36,10 +36,28 @@ def build_answer_prompt(question: str, contexts: Sequence[str]) -> str:
 class VectorRAG:
     """Search + answer over a DeviceVectorIndex."""
 
-    def __init__(self, index: DeviceVectorIndex, provider: Optional[LLMProvider] = None):
+    def __init__(
+        self,
+        index: DeviceVectorIndex,
+        provider: Optional[LLMProvider] = None,
+        smart_retrieval: bool = True,
+    ):
         self.index = index
         self.provider = provider
         self._analyst = None
+        # Production retrieval pipeline: query filters + exact sparse rerank
+        # (retrieval/queryfilter.py). Falls back to raw index search for
+        # semantic (featurizer-less) backends where device scores are final.
+        self._searcher = None
+        if smart_retrieval and getattr(index, "featurizer", None) is not None:
+            from .queryfilter import FilteredSearch
+
+            self._searcher = FilteredSearch(index)
+
+    def _search_texts(self, queries, top_k: int):
+        if self._searcher is not None:
+            return self._searcher.search_texts(queries, top_k=top_k)
+        return self.index.search_texts(queries, top_k=top_k)
 
     @property
     def analyst(self):
@@ -52,16 +70,16 @@ class VectorRAG:
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
         with METRICS.timed("vector.search"):
-            hits = self.index.search_texts([query], top_k=top_k)[0]
+            hits = self._search_texts([query], top_k=top_k)[0]
         return [h.to_dict() for h in hits]
 
     def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
-        return self.index.search_texts(list(queries), top_k=top_k)
+        return self._search_texts(list(queries), top_k=top_k)
 
     # --- answer (MCP tool `answer_question` contract) ---------------------
     async def search_and_answer(self, question: str, top_k: int = 3) -> dict[str, Any]:
         with METRICS.timed("vector.search_and_answer"):
-            hits = self.index.search_texts([question], top_k=top_k)[0]
+            hits = self._search_texts([question], top_k=top_k)[0]
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,

@@ -1,0 +1,72 @@
+"""Million-scale distractor evaluation (round-1 verdict #3, "Done" gate).
+
+Builds an index over the 16 real ICICI chunks + N synthetic hard negatives
+(eval/distractors.py), runs qa_subset + paraphrases at k=3/k=10 through the
+production pipeline (FilteredSearch) and the raw-embedding ablation, and
+writes eval_results/distractor_eval_{N}.json.
+
+Usage: [DISTRACTOR_N=1000000] python scripts/distractor_eval.py
+Runs entirely on CPU (never touches the TPU tunnel).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+N = int(os.environ.get("DISTRACTOR_N", 1_000_000))
+REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
+
+
+def main() -> None:
+    from ragfin_tpu.data.loader import build_corpus
+    from ragfin_tpu.eval.datasets import load_qa_subset, load_vector_eval
+    from ragfin_tpu.eval.distractors import generate_distractors, paraphrased_questions
+    from ragfin_tpu.eval.harness import evaluate_retrieval
+    from ragfin_tpu.index.vector_index import DeviceVectorIndex
+    from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+    t0 = time.perf_counter()
+    real = build_corpus(os.path.join(REF, "extract_data"))
+    dis = generate_distractors(N, seed=1)
+    print(f"[{time.perf_counter()-t0:7.1f}s] generated {N:,} distractors", flush=True)
+    idx = DeviceVectorIndex.build(list(real) + dis)
+    print(f"[{time.perf_counter()-t0:7.1f}s] index built: {len(idx):,} chunks", flush=True)
+
+    qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
+    ve = load_vector_eval(os.path.join(REF, "vector_rag_evaluation_dataset.json"))
+    fs = FilteredSearch(idx)
+
+    out = {"n_distractors": N, "n_chunks": len(idx), "results": {}}
+    for name, questions, searcher, k in [
+        ("qa_subset_k3", qa, fs, 3),
+        ("qa_subset_k10", qa, fs, 10),
+        ("paraphrases_k10", paraphrased_questions(qa), fs, 10),
+        ("vector_eval_k10", ve, fs, 10),
+        ("qa_subset_k10_raw_embedding", qa, idx, 10),
+    ]:
+        t = time.perf_counter()
+        s = evaluate_retrieval(searcher, questions, k=k).summary()
+        s["wall_s"] = round(time.perf_counter() - t, 2)
+        out["results"][name] = s
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] {name}: recall={s['retrieval_recall']['mean']:.3f} "
+            f"precision={s['retrieval_precision']['mean']:.3f} zero={s['zero_recall_queries']}",
+            flush=True,
+        )
+
+    os.makedirs("eval_results", exist_ok=True)
+    path = f"eval_results/distractor_eval_{N}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Distractor-scale retrieval evaluation (round-1 verdict #3: make the
+recall gate mean something). The 16 real chunks are surrounded by synthetic
+hard negatives sharing the financial vocabulary; the production retrieval
+pipeline (FilteredSearch: company/period scoping + exact sparse re-rank)
+must keep recall, and the raw-embedding ablations document why each stage
+exists."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def qa(reference_root):
+    from ragfin_tpu.eval.datasets import load_qa_subset
+
+    return load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+
+
+@pytest.fixture(scope="module")
+def distractor_index(reference_root):
+    from ragfin_tpu.data.loader import build_corpus
+    from ragfin_tpu.eval.distractors import generate_distractors
+    from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+    real = build_corpus(os.path.join(reference_root, "extract_data"))
+    dis = generate_distractors(20_000, seed=1)
+    return DeviceVectorIndex.build(list(real) + dis)
+
+
+class TestDistractorGeneration:
+    def test_deterministic(self):
+        from ragfin_tpu.eval.distractors import generate_distractors
+
+        a = generate_distractors(50, seed=3)
+        b = generate_distractors(50, seed=3)
+        assert [c.id for c in a] == [c.id for c in b]
+        assert [c.text for c in a] == [c.text for c in b]
+
+    def test_no_real_answer_collisions(self):
+        """ICICI distractors never carry FY2024 (or later) periods — they
+        would otherwise BE correct answers / invalidate latest-FY scoping."""
+        from ragfin_tpu.eval.distractors import generate_distractors
+
+        for c in generate_distractors(2000, seed=0):
+            if c.company == "ICICI Bank":
+                assert int(c.period.split("FY")[1]) < 2024
+
+    def test_shares_vocabulary(self):
+        from ragfin_tpu.eval.distractors import generate_distractors
+
+        texts = " ".join(c.text for c in generate_distractors(40, seed=0))
+        for word in ("NET PROFIT", "crore", "Margin", "Customer Deposits", "SEGMENT"):
+            assert word in texts
+
+
+class TestDistractorRecall:
+    def test_recall_at_10_with_20k_distractors(self, distractor_index, qa):
+        from ragfin_tpu.eval.harness import evaluate_retrieval
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        fs = FilteredSearch(distractor_index)
+        s = evaluate_retrieval(fs, qa, k=10).summary()
+        assert s["retrieval_recall"]["mean"] >= 0.95
+        assert s["zero_recall_queries"] == 0
+
+    def test_recall_at_3_matches_clean_corpus(self, distractor_index, qa, reference_root):
+        """Distractors must cost ~nothing: k=3 recall within 0.02 of the
+        16-chunk corpus's 0.912 under the same pipeline."""
+        from ragfin_tpu.eval.harness import evaluate_retrieval
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        fs = FilteredSearch(distractor_index)
+        s = evaluate_retrieval(fs, qa, k=3).summary()
+        assert s["retrieval_recall"]["mean"] >= 0.89
+
+    def test_paraphrases(self, distractor_index, qa):
+        """Paraphrased questions (reduced lexical overlap) stay ≥0.9 recall;
+        the one intentional semantic-gap probe (TA05 'corporate banking' for
+        'wholesale banking') documents the lexical embedder's limit."""
+        from ragfin_tpu.eval.distractors import paraphrased_questions
+        from ragfin_tpu.eval.harness import evaluate_retrieval
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        fs = FilteredSearch(distractor_index)
+        rep = evaluate_retrieval(fs, paraphrased_questions(qa), k=10)
+        s = rep.summary()
+        assert s["questions_evaluated"] >= 10
+        assert s["retrieval_recall"]["mean"] >= 0.9
+        fails = {r.id for r in rep.results if r.recall == 0.0}
+        assert fails <= {"TA05"}
+
+    def test_raw_embedding_ablation_documents_gap(self, distractor_index, qa):
+        """Without the pipeline (no filters, no rerank) recall collapses —
+        the documented reason FilteredSearch exists. If this ever rises
+        above the gate, the raw embedder got dramatically better and the
+        pipeline should be revisited."""
+        from ragfin_tpu.eval.harness import evaluate_retrieval
+
+        s = evaluate_retrieval(distractor_index, qa, k=10).summary()
+        assert s["retrieval_recall"]["mean"] < 0.9
+
+
+class TestFilterExtraction:
+    def test_explicit_quarter(self):
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        known = [f"Q{q}_FY2024" for q in range(1, 5)]
+        f = extract_filters("What was net profit in Q2 FY2024?", known)
+        assert f.periods == ["Q2_FY2024"]
+        assert f.chunk_type == "profitability_analysis"
+
+    def test_ordinal_quarters(self):
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        known = [f"Q{q}_FY2024" for q in range(1, 5)]
+        f = extract_filters(
+            "How did income change from the first quarter to the fourth quarter of FY2024?", known
+        )
+        assert f.periods == ["Q1_FY2024", "Q4_FY2024"]
+
+    def test_year_only_means_all_quarters(self):
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        known = [f"Q{q}_FY2024" for q in range(1, 5)] + ["Q1_FY2023"]
+        f = extract_filters("Cost ratio trend throughout FY2024?", known)
+        assert sorted(f.periods) == [f"Q{q}_FY2024" for q in range(1, 5)]
+
+    def test_unknown_year_no_filter(self):
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        f = extract_filters("net profit in Q1 FY2031?", ["Q1_FY2024"])
+        assert f.periods == []
+
+    def test_company_scoping_tier(self, distractor_index):
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        fs = FilteredSearch(distractor_index)
+        hits = fs.search_texts(["What was the net profit in Q1 FY2024?"], top_k=4)[0]
+        # Default-company scoping: all top hits are ICICI despite 7 other
+        # banks having Q1 FY2024 profitability chunks.
+        assert all(h.record.company == "ICICI Bank" for h in hits)
+        # Naming another bank overrides the default scope.
+        hits = fs.search_texts(["What was HDFC Bank's net profit in Q1 FY2024?"], top_k=4)[0]
+        assert all(h.record.company == "HDFC Bank" for h in hits)

@@ -165,11 +165,14 @@ class TestInt8:
         from ragfin_tpu.eval.harness import evaluate_retrieval
         from ragfin_tpu.index.vector_index import DeviceVectorIndex
 
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
         chunks = build_corpus(os.path.join(reference_root, "extract_data"))
         index = DeviceVectorIndex.build(chunks, dtype="int8")
         assert index.quantized
         qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
-        s = evaluate_retrieval(index, qa, k=10).summary()
+        # Production pipeline over the quantized index keeps perfect recall.
+        s = evaluate_retrieval(FilteredSearch(index), qa, k=10).summary()
         assert s["retrieval_recall"]["mean"] == 1.0
 
 

@@ -59,6 +59,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: a successful compile survives process
+    # restarts, so a short healthy tunnel window is enough for later runs.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is best-effort
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
     from ragfin_tpu.ops.quantize import quantize_corpus_t
     from ragfin_tpu.ops.topk import cosine_topk_fused, cosine_topk_fused_int8
 
@@ -69,13 +78,19 @@ def main() -> None:
         return x * jax.lax.rsqrt(nrm2 + 1e-12)[None, :].astype(jnp.bfloat16)
 
     ct = gen_corpus_t(jax.random.PRNGKey(0))
+    # Corpus tensors are explicit jit ARGUMENTS of `run` — closing over them
+    # would bake them into the HLO as 768MB+ constants shipped to the remote
+    # compiler, which hangs the tunnel (the round-1 BENCH zero: the same
+    # kernel compiles in ~2s when the corpus is an argument).
     if DTYPE == "int8":
         corpus, scales = quantize_corpus_t(ct)
-        inner = lambda q: cosine_topk_fused_int8(q, corpus, scales, K, n_valid=N, block_n=BLOCK_N)
+        operands = (corpus, scales)
+        inner = lambda q, c, s: cosine_topk_fused_int8(q, c, s, K, n_valid=N, block_n=BLOCK_N)
     else:
         corpus = ct.astype(jnp.float32) if DTYPE == "f32" else ct
         precision = "exact" if DTYPE == "f32" else "fast"
-        inner = lambda q: cosine_topk_fused(q, corpus, K, n_valid=N, precision=precision, block_n=BLOCK_N)
+        operands = (corpus,)
+        inner = lambda q, c: cosine_topk_fused(q, c, K, n_valid=N, precision=precision, block_n=BLOCK_N)
     np.asarray(corpus[0, 0])  # settle transfers
 
     keys = jax.random.split(jax.random.PRNGKey(1), REPS)
@@ -86,9 +101,9 @@ def main() -> None:
 
     def make_run(fn):
         @jax.jit
-        def run(qs):
+        def run(qs, *corpus_args):
             def step(carry, q):
-                s, i = fn(q)
+                s, i = fn(q, *corpus_args)
                 return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
             acc, _ = jax.lax.scan(step, 0.0, qs)
             return acc
@@ -98,9 +113,10 @@ def main() -> None:
     # fused kernel a few times, then fall back to the dense XLA path so the
     # bench always reports a number.
     run = make_run(inner)
+    run_operands = operands
     for attempt in range(3):
         try:
-            np.asarray(run(qs))  # compile + warm
+            np.asarray(run(qs, *run_operands))  # compile + warm
             break
         except Exception as e:
             print(f"# warmup attempt {attempt + 1} failed: {e}", file=sys.stderr)
@@ -108,12 +124,13 @@ def main() -> None:
     else:
         dense_corpus = corpus if DTYPE != "int8" else ct
         run = make_run(
-            lambda q: cosine_topk_dense(q, dense_corpus, K, n_valid=N, precision="fast")
+            lambda q, c: cosine_topk_dense(q, c, K, n_valid=N, precision="fast")
         )
-        np.asarray(run(qs))
+        run_operands = (dense_corpus,)
+        np.asarray(run(qs, *run_operands))
 
     t0 = time.perf_counter()
-    np.asarray(run(qs))
+    np.asarray(run(qs, *run_operands))
     per_batch = (time.perf_counter() - t0) / REPS
     qps = Q / per_batch
 

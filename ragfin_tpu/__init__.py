@@ -21,3 +21,15 @@ mirror the reference's public API surface.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("RAGFIN_PLATFORM"):
+    # Hard platform pin honored before any device op. The standard
+    # JAX_PLATFORMS env filter is ignored by out-of-tree plugin backends in
+    # some images (the axon TPU tunnel here), so serving/CLI processes that
+    # must not touch the TPU (e.g. while a benchmark owns the single tunnel
+    # client slot) set RAGFIN_PLATFORM=cpu instead.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RAGFIN_PLATFORM"])

@@ -38,6 +38,8 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config.constants import FINANCIAL_ENTITY_TYPES, SUPPORTED_QUARTERS
 from ..data.models import ExtractedEntities
@@ -69,6 +71,93 @@ def _period_key(period: str):
 
 
 _RANK_MISS = jnp.int32(-0x80000000)  # sentinel strictly below any -row_idx
+_INT_MAX = 0x7FFFFFFF
+
+
+def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: int, block_n: int):
+    """Pallas streaming first-k: walk [1, TN] tiles of the hit vector in row
+    order, extracting hit row-ids until k are found. Facts are CSR-sorted
+    (quarter-major), so the first k hits ARE the top-k under the reference's
+    ``ORDER BY q.period`` — no sort materialized (``lax.top_k`` at 10M rows
+    would full-sort the fact table per query). Tiles after the kth hit cost
+    one vector compare each."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ids[:] = jnp.full_like(acc_ids, _INT_MAX)
+        acc_cnt[0] = 0
+
+    cnt0 = acc_cnt[0]
+
+    @pl.when(cnt0 < k)
+    def _scan():
+        h = hit_ref[:] != 0  # [1, TN]
+        base = j * block_n
+        iota = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        slot = jax.lax.broadcasted_iota(jnp.int32, acc_ids.shape, 1)  # [1, k]
+
+        def cond(st):
+            h, cnt, _ = st
+            return jnp.logical_and(cnt < k, jnp.any(h))
+
+        def body(st):
+            h, cnt, acc = st
+            idx = jnp.argmax(h, axis=-1)  # [1] first hit in the tile
+            acc = jnp.where(slot == cnt, base + idx[:, None], acc)
+            h = jnp.logical_and(h, iota != idx[:, None])
+            return h, cnt + 1, acc
+
+        _, cnt2, acc2 = jax.lax.while_loop(cond, body, (h, cnt0, acc_ids[:]))
+        acc_ids[:] = acc2
+        acc_cnt[0] = cnt2
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _flush():
+        out_ids_ref[:] = acc_ids[:]
+        out_cnt_ref[0, 0] = acc_cnt[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
+def masked_first_k(hit: jax.Array, k: int, block_n: int = 131072, interpret: bool = False):
+    """First-k indices of a [N] int8/bool hit vector, via the streaming
+    Pallas kernel. Returns (ids [k] int32 with INT_MAX padding, count)."""
+    n = hit.shape[0]
+    pad = -n % block_n
+    h = jnp.reshape(hit.astype(jnp.int8), (1, n))
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad)))
+    grid = (h.shape[1] // block_n,)
+    out_ids, out_cnt = pl.pallas_call(
+        functools.partial(_first_k_kernel, k=k, block_n=block_n),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, block_n), lambda j: (0, j))],
+        out_specs=[
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, k), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, k), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(h)
+    return out_ids[0], out_cnt[0, 0]
+
+
+@jax.jit
+def _hit_vector(quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask):
+    """Masked fact predicate, one vectorized pass (the Cypher WHERE clause)."""
+    return (
+        quarter_mask[quarter_ids]
+        & entity_mask[entity_ids]
+        & type_mask[type_ids]
+        & row_valid
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("limit",))
@@ -120,32 +209,78 @@ def _aggregate_kernel(values, quarter_ids, entity_ids, type_ids, row_valid,
     return jnp.argmax(pos), jnp.argmin(neg), mean, jnp.sum(hit)
 
 
-@functools.partial(jax.jit, static_argnames=("n_quarters",))
-def _expand_kernel(quarter_ids, entity_ids, type_ids, row_valid, seed_entity_mask, n_quarters: int):
-    """1-hop frontier expansion: entities → quarters touching them → all
-    facts in those quarters (the co-occurrence traverse of C20)."""
-    seed_rows = seed_entity_mask[entity_ids] & row_valid
-    frontier_q = jnp.zeros((n_quarters,), bool).at[quarter_ids].max(seed_rows)
-    reached = frontier_q[quarter_ids] & row_valid
-    return frontier_q, reached
+@functools.partial(jax.jit, static_argnames=("n_quarters", "n_entities", "hops"))
+def _khop_kernel(
+    quarter_ids, entity_ids, row_valid, seed_entity_mask,
+    n_quarters: int, n_entities: int, hops: int,
+):
+    """k-hop frontier expansion by iterated mask propagation through the
+    fact table (the co-occurrence traverse of C20, generalized to k hops —
+    round-1 verdict #5). One hop = seed entities → quarters touching them;
+    each further hop adds the entities co-occurring in reached quarters and
+    then their quarters. Each propagation is one scatter-max over the fact
+    rows — linear passes, no host loop, k static for unrolling."""
+
+    def step(_, masks):
+        e_mask, q_mask = masks
+        q_hit = jnp.zeros((n_quarters,), bool).at[quarter_ids].max(e_mask[entity_ids] & row_valid)
+        q_mask = q_mask | q_hit
+        e_hit = jnp.zeros((n_entities,), bool).at[entity_ids].max(q_mask[quarter_ids] & row_valid)
+        e_mask = e_mask | e_hit
+        return e_mask, q_mask
+
+    e_mask, q_mask = jax.lax.fori_loop(
+        0, hops, step, (seed_entity_mask, jnp.zeros((n_quarters,), bool))
+    )
+    reached = q_mask[quarter_ids] & row_valid
+    return q_mask, e_mask, reached
 
 
 class GraphIndex:
     """Columnar fact store + vocabulary + device query kernels."""
 
+    # Numeric fact columns (SoA). String attributes are interned into
+    # per-column vocabularies so a 10M-fact store is ~9 int/float numpy
+    # columns, not 10M python tuples.
+    _NUM_COLS = ("quarter_ids", "entity_ids", "type_ids", "value", "growth", "aux")
+    _STR_COLS = ("unit_ids", "chunk_ids", "dataset_ids")
+
     def __init__(self, company: str = "ICICI Bank"):
         self.company = company
         self.quarters: list[str] = list(SUPPORTED_QUARTERS)
+        self._quarter_id: dict[str, int] = {q: i for i, q in enumerate(self.quarters)}
         self.entities: list[str] = []
         self._entity_id: dict[str, int] = {}
         for names in FINANCIAL_ENTITY_TYPES.values():
             for name in names:
                 self._intern_entity(name)
-        # Host-side columnar buffers (python lists; packed lazily).
-        self._rows: list[tuple] = []  # (q, e, t, value, growth, aux, unit, chunk_id, dataset_id)
-        self._packed: Optional[dict[str, jax.Array]] = None
+        # String-attribute vocabularies (unit / source chunk / dataset).
+        self._units: list[str] = [""]
+        self._unit_id: dict[str, int] = {"": 0}
+        self._chunks: list[str] = [""]
+        self._chunk_id_of: dict[str, int] = {"": 0}
+        self._datasets: list[str] = [""]
+        self._dataset_id_of: dict[str, int] = {"": 0}
+        # Consolidated columnar store + small append buffer.
+        self._cols: dict[str, np.ndarray] = self._empty_cols()
+        self._pending: list[tuple] = []
+        self._packed: Optional[dict[str, Any]] = None
         self.organizations: dict[str, set[str]] = {}
         self.quarter_sources: dict[str, list[str]] = {}
+
+    @classmethod
+    def _empty_cols(cls) -> dict[str, np.ndarray]:
+        return {
+            "quarter_ids": np.zeros((0,), np.int32),
+            "entity_ids": np.zeros((0,), np.int32),
+            "type_ids": np.zeros((0,), np.int32),
+            "value": np.zeros((0,), np.float32),
+            "growth": np.zeros((0,), np.float32),
+            "aux": np.zeros((0,), np.float32),
+            "unit_ids": np.zeros((0,), np.int32),
+            "chunk_ids": np.zeros((0,), np.int32),
+            "dataset_ids": np.zeros((0,), np.int32),
+        }
 
     # --- vocabulary ------------------------------------------------------
     def _intern_entity(self, name: str) -> int:
@@ -155,9 +290,46 @@ class GraphIndex:
         return self._entity_id[name]
 
     def _intern_quarter(self, period: str) -> int:
-        if period not in self.quarters:
+        if period not in self._quarter_id:
+            self._quarter_id[period] = len(self.quarters)
             self.quarters.append(period)
-        return self.quarters.index(period)
+        return self._quarter_id[period]
+
+    @staticmethod
+    def _intern(vocab: list, index: dict, value: str) -> int:
+        if value not in index:
+            index[value] = len(vocab)
+            vocab.append(value)
+        return index[value]
+
+    def intern_entities(self, names: Sequence[str]) -> np.ndarray:
+        return np.array([self._intern_entity(n) for n in names], np.int32)
+
+    def intern_quarters(self, periods: Sequence[str]) -> np.ndarray:
+        return np.array([self._intern_quarter(p) for p in periods], np.int32)
+
+    @property
+    def n_facts(self) -> int:
+        return int(self._cols["quarter_ids"].shape[0]) + len(self._pending)
+
+    def _consolidate(self) -> None:
+        """Fold the append buffer into the numpy columns."""
+        if not self._pending:
+            return
+        pend = list(zip(*self._pending))
+        new = {
+            "quarter_ids": np.asarray(pend[0], np.int32),
+            "entity_ids": np.asarray(pend[1], np.int32),
+            "type_ids": np.asarray(pend[2], np.int32),
+            "value": np.asarray([np.nan if v is None else v for v in pend[3]], np.float32),
+            "growth": np.asarray([np.nan if v is None else v for v in pend[4]], np.float32),
+            "aux": np.asarray([np.nan if v is None else v for v in pend[5]], np.float32),
+            "unit_ids": np.asarray(pend[6], np.int32),
+            "chunk_ids": np.asarray(pend[7], np.int32),
+            "dataset_ids": np.asarray(pend[8], np.int32),
+        }
+        self._cols = {k: np.concatenate([self._cols[k], new[k]]) for k in self._cols}
+        self._pending = []
 
     # --- mutation (reference save_entities, neo4j_service.py:48-175) ------
     def save_entities(
@@ -176,10 +348,14 @@ class GraphIndex:
         q = self._intern_quarter(quarter)
         added = 0
 
+        cid = self._intern(self._chunks, self._chunk_id_of, chunk_id)
+        did = self._intern(self._datasets, self._dataset_id_of, dataset_id)
+
         def put(type_id, name, value, growth, aux, unit):
             nonlocal added
             e = self._intern_entity(name)
-            self._rows.append((q, e, type_id, value, growth, aux, unit, chunk_id, dataset_id))
+            uid = self._intern(self._units, self._unit_id, unit or "")
+            self._pending.append((q, e, type_id, value, growth, aux, uid, cid, did))
             added += 1
 
         for m in entities.financial_metrics:
@@ -194,62 +370,109 @@ class GraphIndex:
             self._packed = None
         return added
 
+    def add_facts_bulk(
+        self,
+        quarter_ids: np.ndarray,
+        entity_ids: np.ndarray,
+        type_ids: np.ndarray,
+        values: np.ndarray,
+        growth: Optional[np.ndarray] = None,
+        aux: Optional[np.ndarray] = None,
+        unit: str = "crore",
+        chunk_id: str = "bulk",
+        dataset_id: str = "bulk",
+    ) -> int:
+        """Columnar bulk ingestion (the 10M-fact scale path): numpy arrays of
+        pre-interned vocab ids (see :meth:`intern_quarters` /
+        :meth:`intern_entities`) appended as one concatenate — no per-fact
+        Python loop."""
+        self._consolidate()
+        n = int(quarter_ids.shape[0])
+        uid = self._intern(self._units, self._unit_id, unit)
+        cid = self._intern(self._chunks, self._chunk_id_of, chunk_id)
+        did = self._intern(self._datasets, self._dataset_id_of, dataset_id)
+        nan = np.full((n,), np.nan, np.float32)
+        new = {
+            "quarter_ids": np.asarray(quarter_ids, np.int32),
+            "entity_ids": np.asarray(entity_ids, np.int32),
+            "type_ids": np.asarray(type_ids, np.int32),
+            "value": np.asarray(values, np.float32),
+            "growth": nan if growth is None else np.asarray(growth, np.float32),
+            "aux": nan if aux is None else np.asarray(aux, np.float32),
+            "unit_ids": np.full((n,), uid, np.int32),
+            "chunk_ids": np.full((n,), cid, np.int32),
+            "dataset_ids": np.full((n,), did, np.int32),
+        }
+        self._cols = {k: np.concatenate([self._cols[k], new[k]]) for k in self._cols}
+        self._packed = None
+        return n
+
     def clear_data(self, dataset_id: Optional[str] = None) -> None:
         """Clear one dataset or everything (reference :234-251)."""
         if dataset_id is None:
-            self._rows = []
+            self._cols = self._empty_cols()
+            self._pending = []
             self.organizations = {}
             self.quarter_sources = {}
         else:
-            self._rows = [r for r in self._rows if r[8] != dataset_id]
+            self._consolidate()
+            did = self._dataset_id_of.get(dataset_id)
+            if did is not None:
+                keep = self._cols["dataset_ids"] != did
+                self._cols = {k: v[keep] for k, v in self._cols.items()}
         self._packed = None
 
     # --- packing ----------------------------------------------------------
     def _pack(self) -> dict[str, Any]:
         if self._packed is not None:
             return self._packed
+        self._consolidate()
+        cols = self._cols
+        n = int(cols["quarter_ids"].shape[0])
         # CSR order: quarter-major in true chronological order (parsed
         # (fiscal_year, quarter) key — a lexicographic sort on the period
         # string would put Q1_FY2025 before Q4_FY2024), then type, then
         # insertion order. Matches the reference's ``ORDER BY q.period``
-        # intent across fiscal years.
-        order = sorted(
-            range(len(self._rows)),
-            key=lambda i: (_period_key(self.quarters[self._rows[i][0]]), self._rows[i][2], i),
-        )
-        rows = [self._rows[i] for i in order]
-        n = len(rows)
+        # intent across fiscal years. Vectorized: np.lexsort over the
+        # chronological quarter rank (sort is stable, preserving insertion
+        # order within (quarter, type)).
+        chrono = sorted(range(len(self.quarters)), key=lambda i: _period_key(self.quarters[i]))
+        rank_of = np.zeros((len(self.quarters),), np.int64)
+        for r, qi in enumerate(chrono):
+            rank_of[qi] = r
+        qrank = rank_of[cols["quarter_ids"]]
+        order = np.lexsort((cols["type_ids"], qrank))  # stable; minor key first
+        sorted_cols = {k: v[order] for k, v in cols.items()}
+
         pad = -n % _PAD or _PAD
         total = n + pad
 
-        def col(idx, dtype, default=0):
-            arr = np.full((total,), default, dtype)
-            for i, r in enumerate(rows):
-                v = r[idx]
-                arr[i] = default if v is None else v
-            return arr
+        def padded(arr, default):
+            out = np.full((total,), default, arr.dtype)
+            out[:n] = arr
+            return out
 
-        quarter_ids = col(0, np.int32)
-        # CSR row offsets over the chronologically sorted quarter sequence
-        # (rows are packed in that order).
-        sorted_quarters = sorted(set(self.quarters[r[0]] for r in rows), key=_period_key)
-        rank = {q: i for i, q in enumerate(sorted_quarters)}
-        offsets = np.zeros((len(sorted_quarters) + 1,), np.int32)
-        for r in rows:
-            offsets[rank[self.quarters[r[0]]] + 1] += 1
-        offsets = np.cumsum(offsets).astype(np.int32)
+        # Per-quarter CSR offsets over the chronologically sorted quarter
+        # sequence (rows are packed in that order).
+        present_ranks = np.unique(qrank[order]) if n else np.zeros((0,), np.int64)
+        sorted_quarters = [self.quarters[chrono[int(r)]] for r in present_ranks]
+        counts = np.bincount(
+            np.searchsorted(present_ranks, qrank[order]), minlength=len(sorted_quarters)
+        ) if n else np.zeros((0,), np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
 
         self._packed = {
-            "quarter_ids": jnp.asarray(quarter_ids),
-            "entity_ids": jnp.asarray(col(1, np.int32)),
-            "type_ids": jnp.asarray(col(2, np.int32)),
-            "value": jnp.asarray(col(3, np.float32, np.nan)),
-            "growth": jnp.asarray(col(4, np.float32, np.nan)),
-            "aux": jnp.asarray(col(5, np.float32, np.nan)),
+            "quarter_ids": jnp.asarray(padded(sorted_cols["quarter_ids"], 0)),
+            "entity_ids": jnp.asarray(padded(sorted_cols["entity_ids"], 0)),
+            "type_ids": jnp.asarray(padded(sorted_cols["type_ids"], 0)),
+            "value": jnp.asarray(padded(sorted_cols["value"], np.nan)),
+            "growth": jnp.asarray(padded(sorted_cols["growth"], np.nan)),
+            "aux": jnp.asarray(padded(sorted_cols["aux"], np.nan)),
             "row_valid": jnp.asarray(np.arange(total) < n),
             "quarter_offsets": jnp.asarray(offsets),
             "sorted_quarters": sorted_quarters,
-            "rows": rows,  # host sidecar (unit, chunk, dataset strings)
+            # Host sidecar: sorted numpy columns for result materialization.
+            "host": sorted_cols,
             "n": n,
         }
         return self._packed
@@ -292,6 +515,19 @@ class GraphIndex:
         if packed["n"] == 0:
             return []
         qm, em, tm = self._masks(quarters, names, types)
+        total = int(packed["quarter_ids"].shape[0])
+        if total >= (1 << 18):
+            # Scale path: one vectorized predicate pass + streaming Pallas
+            # first-k (CSR order makes first-k == top-k) — no 10M-row sort.
+            hit = _hit_vector(
+                packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
+                packed["row_valid"], qm, em, tm,
+            )
+            ids, _cnt = masked_first_k(
+                hit, min(limit, total), interpret=jax.default_backend() != "tpu"
+            )
+            ids = np.asarray(ids)
+            return self._rows_to_dicts(packed, ids, ids < packed["n"])
         top_rows, valid, _count = _match_kernel(
             packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
             packed["row_valid"], qm, em, tm, limit,
@@ -326,8 +562,9 @@ class GraphIndex:
         return {"max": rows[0], "min": rows[1] if len(rows) > 1 else rows[0],
                 "mean": float(mean), "count": int(count), "field": field}
 
-    def expand(self, names: Sequence[str], limit: int = 30) -> list[dict]:
-        """1-hop co-occurrence expansion from entity names (C20 traverse)."""
+    def expand(self, names: Sequence[str], limit: int = 30, hops: int = 1) -> list[dict]:
+        """k-hop co-occurrence expansion from entity names (C20 traverse,
+        ``mcp_graph_rag/graph_rag_tools.py:1538-1595``, generalized)."""
         packed = self._pack()
         if packed["n"] == 0:
             return []
@@ -336,9 +573,9 @@ class GraphIndex:
         for name in names:
             if name in self._entity_id:
                 em[self._entity_id[name]] = True
-        frontier_q, reached = _expand_kernel(
-            packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
-            packed["row_valid"], jnp.asarray(em), len(self.quarters),
+        _q_mask, _e_mask, reached = _khop_kernel(
+            packed["quarter_ids"], packed["entity_ids"], packed["row_valid"],
+            jnp.asarray(em), len(self.quarters), ne, int(hops),
         )
         reached = np.asarray(reached)
         rows = np.nonzero(reached)[0][:limit]
@@ -346,11 +583,23 @@ class GraphIndex:
 
     def _rows_to_dicts(self, packed, row_ids, valid) -> list[dict]:
         out = []
-        rows = packed["rows"]
+        host = packed["host"]
+
+        def _opt(x):
+            return None if np.isnan(x) else float(x)
+
         for rid, ok in zip(row_ids, valid):
             if not ok or rid >= packed["n"]:
                 continue
-            q, e, t, value, growth, aux, unit, chunk_id, dataset_id = rows[int(rid)]
+            r = int(rid)
+            q = int(host["quarter_ids"][r])
+            e = int(host["entity_ids"][r])
+            t = int(host["type_ids"][r])
+            value = _opt(host["value"][r])
+            growth = _opt(host["growth"][r])
+            aux = _opt(host["aux"][r])
+            unit = self._units[int(host["unit_ids"][r])] or None
+            chunk_id = self._chunks[int(host["chunk_ids"][r])]
             quarter = self.quarters[q]
             name = self.entities[e]
             if t == METRIC:
@@ -369,22 +618,28 @@ class GraphIndex:
 
     # --- stats (reference get_stats, neo4j_service.py:187-232) -------------
     def stats(self) -> dict:
-        by_type: dict[str, int] = {name + "_count": 0 for name in TYPE_NAMES.values()}
-        detailed: dict[str, dict[str, int]] = {}
-        quarters_present = set()
-        for q, e, t, *_ in self._rows:
-            quarter = self.quarters[q]
-            quarters_present.add(quarter)
-            by_type[TYPE_NAMES[t] + "_count"] += 1
-            d = detailed.setdefault(quarter, {"metrics": 0, "segments": 0, "ratios": 0, "balance_items": 0})
-            d[{METRIC: "metrics", SEGMENT: "segments", RATIO: "ratios", BALANCE: "balance_items"}[t]] += 1
+        self._consolidate()
+        q_ids = self._cols["quarter_ids"]
+        t_ids = self._cols["type_ids"]
+        nq = len(self.quarters)
+        type_counts = np.bincount(t_ids, minlength=4)
+        by_type = {TYPE_NAMES[t] + "_count": int(type_counts[t]) for t in range(4)}
+        # Per-(quarter, type) detail via one bincount over a combined key.
+        pair = np.bincount(q_ids.astype(np.int64) * 4 + t_ids, minlength=nq * 4).reshape(nq, 4)
+        key = {METRIC: "metrics", SEGMENT: "segments", RATIO: "ratios", BALANCE: "balance_items"}
+        detailed = {}
+        quarters_present = []
+        for qi in np.nonzero(pair.sum(axis=1))[0]:
+            quarter = self.quarters[int(qi)]
+            quarters_present.append(quarter)
+            detailed[quarter] = {key[t]: int(pair[qi, t]) for t in range(4)}
         return {
             "Organization_count": len(self.organizations),
             "Quarter_count": len(quarters_present),
             **by_type,
             "quarters_available": sorted(quarters_present),
             "detailed_counts": dict(sorted(detailed.items())),
-            "total_facts": len(self._rows),
+            "total_facts": int(q_ids.shape[0]),
         }
 
     def health_check(self) -> bool:
@@ -392,20 +647,27 @@ class GraphIndex:
 
     # --- persistence ------------------------------------------------------
     def save(self, directory: str) -> None:
+        """Columnar persistence: vocabularies in JSON, fact columns in one
+        .npz (scales to 10M facts where a JSON row dump would not)."""
         os.makedirs(directory, exist_ok=True)
+        self._consolidate()
         with open(os.path.join(directory, "graph.json"), "w") as f:
             json.dump(
                 {
+                    "format": 2,
                     "company": self.company,
                     "quarters": self.quarters,
                     "entities": self.entities,
-                    "rows": self._rows,
+                    "units": self._units,
+                    "chunks": self._chunks,
+                    "datasets": self._datasets,
                     "organizations": {k: sorted(v) for k, v in self.organizations.items()},
                     "quarter_sources": self.quarter_sources,
                 },
                 f,
                 ensure_ascii=False,
             )
+        np.savez_compressed(os.path.join(directory, "graph_facts.npz"), **self._cols)
 
     @classmethod
     def load(cls, directory: str) -> "GraphIndex":
@@ -413,9 +675,27 @@ class GraphIndex:
             data = json.load(f)
         g = cls(company=data.get("company", "ICICI Bank"))
         g.quarters = data["quarters"]
+        g._quarter_id = {q: i for i, q in enumerate(g.quarters)}
         g.entities = data["entities"]
         g._entity_id = {name: i for i, name in enumerate(g.entities)}
-        g._rows = [tuple(r) for r in data["rows"]]
         g.organizations = {k: set(v) for k, v in data.get("organizations", {}).items()}
         g.quarter_sources = data.get("quarter_sources", {})
+        if data.get("format", 1) >= 2:
+            for attr, key in (("_units", "units"), ("_chunks", "chunks"), ("_datasets", "datasets")):
+                setattr(g, attr, data[key])
+            g._unit_id = {u: i for i, u in enumerate(g._units)}
+            g._chunk_id_of = {c: i for i, c in enumerate(g._chunks)}
+            g._dataset_id_of = {d: i for i, d in enumerate(g._datasets)}
+            with np.load(os.path.join(directory, "graph_facts.npz")) as z:
+                g._cols = {k: z[k] for k in g._cols}
+        else:
+            # Round-1 format: JSON row tuples (q, e, t, value, growth, aux,
+            # unit, chunk_id, dataset_id) — convert through the append path.
+            for r in data.get("rows", []):
+                q, e, t, value, growth, aux, unit, chunk_id, dataset_id = r
+                uid = g._intern(g._units, g._unit_id, unit or "")
+                cid = g._intern(g._chunks, g._chunk_id_of, chunk_id)
+                did = g._intern(g._datasets, g._dataset_id_of, dataset_id)
+                g._pending.append((q, e, t, value, growth, aux, uid, cid, did))
+            g._consolidate()
         return g

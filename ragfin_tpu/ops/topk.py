@@ -250,6 +250,12 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     q, d = queries.shape
     n = corpus_t.shape[1]
     limit = _limit(n_valid, n)
+    if precision == "fast" and corpus_t.dtype == jnp.bfloat16:
+        # Match operand dtypes for a single-pass bf16 MXU matmul: f32 queries
+        # against a bf16 corpus would otherwise promote the corpus tile to
+        # f32 inside the kernel — a per-tile conversion plus a multi-pass
+        # f32 matmul (~6x slower on the MXU). Scores still accumulate f32.
+        queries = queries.astype(jnp.bfloat16)
 
     pad_q = -q % block_q
     pad_n = -n % block_n

@@ -35,6 +35,10 @@ EXPERIMENTS = {
     "int8_bn4096_q1024": ("int8", 4096, 1024),
     "bf16_bn2048_q1024": ("bf16", 2048, 1024),
     "int8_bn2048_q1024": ("int8", 2048, 1024),
+    # v2 = bf16 query cast for single-pass MXU (ops/topk.py _fused_call).
+    "bf16v2_bn2048_q64": ("bf16", 2048, 64),
+    "bf16v2_bn4096_q64": ("bf16", 4096, 64),
+    "bf16v2_bn2048_q1024": ("bf16", 2048, 1024),
 }
 
 
@@ -63,11 +67,119 @@ def oracle_check() -> None:
     assert ids_match
 
 
+def noscan_1m() -> None:
+    """Isolate compile vs run at 1M: single direct fused call, no scan."""
+    n, q, k = 1_000_000, 64, 10
+    _stage("noscan_1m: gen corpus")
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, n), jnp.bfloat16)
+    np.asarray(ct[0, 0])
+    qs = jax.random.normal(jax.random.PRNGKey(1), (q, D), jnp.float32)
+    _stage("noscan_1m: compiling single call")
+    t0 = time.perf_counter()
+    s, i = T.cosine_topk_fused(qs, ct, k, precision="fast")
+    np.asarray(s[0, 0])
+    compile_s = time.perf_counter() - t0
+    _stage(f"noscan_1m: compiled+ran in {compile_s:.1f}s; timing 4 execs")
+    t0 = time.perf_counter()
+    for _ in range(4):
+        s, i = T.cosine_topk_fused(qs, ct, k, precision="fast")
+    np.asarray(s[0, 0])
+    dt = (time.perf_counter() - t0) / 4
+    line = f"noscan_1m compile+first={compile_s:.1f}s exec={dt*1e3:.2f} ms/batch (dispatch incl.)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+def shardmap_fused_1dev() -> None:
+    """Production composition on hardware (round-1 verdict #7): the fused
+    Pallas kernel inside shard_map on a 1-device mesh — proves the
+    combination compiles and runs on TPU even without multi-chip."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ragfin_tpu.parallel.sharded import sharded_cosine_topk
+
+    n, q, k = 1_000_000, 64, 10
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    _stage("shardmap: gen corpus")
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, n), jnp.bfloat16)
+    ct = jax.device_put(ct, NamedSharding(mesh, P(None, "data")))
+    np.asarray(ct[0, 0])
+    qs = jax.random.normal(jax.random.PRNGKey(1), (q, D), jnp.float32)
+    _stage("shardmap: compiling fused-in-shard_map")
+    t0 = time.perf_counter()
+    s, i = sharded_cosine_topk(mesh, "data", qs, ct, k, n_valid=n, method="fused")
+    np.asarray(s[0, 0])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(4):
+        s, i = sharded_cosine_topk(mesh, "data", qs, ct, k, n_valid=n, method="fused")
+    np.asarray(s[0, 0])
+    dt = (time.perf_counter() - t0) / 4
+    line = f"shardmap_fused_1dev compile={compile_s:.1f}s exec={dt*1e3:.2f} ms/batch (dispatch incl.)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+def graph_match_10m() -> None:
+    """Graph-store match latency at 10M facts on TPU (round-1 verdict #5).
+
+    Builds the columnar store with bulk ingestion, then times the scale
+    match path (vectorized predicate + streaming Pallas first-k)."""
+    from ragfin_tpu.index.graph_index import METRIC, GraphIndex
+
+    n = 10_000_000
+    g = GraphIndex()
+    rng = np.random.default_rng(0)
+    _stage("graph: generating 10M facts")
+    quarters = [f"Q{q}_FY{y}" for y in range(2018, 2025) for q in range(1, 5)]
+    qv = g.intern_quarters(quarters)
+    ev = g.intern_entities([f"Metric {i}" for i in range(512)])
+    g.add_facts_bulk(
+        quarter_ids=qv[rng.integers(0, len(qv), n)],
+        entity_ids=ev[rng.integers(0, len(ev), n)],
+        type_ids=rng.integers(0, 4, n).astype(np.int32),
+        values=rng.uniform(1, 1e5, n).astype(np.float32),
+    )
+    _stage("graph: packing + device transfer")
+    t0 = time.perf_counter()
+    g._pack()
+    pack_s = time.perf_counter() - t0
+    _stage(f"graph: packed in {pack_s:.1f}s; first match (compile)")
+    t0 = time.perf_counter()
+    out = g.match(quarters=["Q1_FY2024"], names=["Metric 7"], types=[METRIC], limit=30)
+    first_s = time.perf_counter() - t0
+    assert out, "match returned nothing"
+    t0 = time.perf_counter()
+    reps = 8
+    for i in range(reps):
+        g.match(quarters=[f"Q{1 + i % 4}_FY2023"], names=[f"Metric {i}"], types=[METRIC], limit=30)
+    dt = (time.perf_counter() - t0) / reps
+    agg = g.aggregate(names=["Metric 3"], field="value")
+    line = (
+        f"graph_match_10m pack={pack_s:.1f}s first={first_s:.1f}s "
+        f"match={dt*1e3:.2f} ms (dispatch incl.), aggregate_count={agg['count']}"
+    )
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def main(name: str) -> None:
     global N
+    if name == "graph_match_10m":
+        _stage(f"start graph_match_10m backend={jax.default_backend()}")
+        return graph_match_10m()
+    if name == "shardmap_fused_1dev":
+        _stage(f"start shardmap_fused_1dev backend={jax.default_backend()}")
+        return shardmap_fused_1dev()
     if name == "oracle_check":
         _stage(f"start oracle_check backend={jax.default_backend()}")
         return oracle_check()
+    if name == "noscan_1m":
+        _stage(f"start noscan_1m backend={jax.default_backend()}")
+        return noscan_1m()
     dtype, block_n, q = EXPERIMENTS[name]
     if name.startswith("canary"):
         N = 65536
@@ -80,12 +192,18 @@ def main(name: str) -> None:
         return x * jax.lax.rsqrt(n2 + 1e-12)[None, :].astype(jnp.bfloat16)
 
     ct = gen(jax.random.PRNGKey(0))
+    # Corpus tensors are explicit jit ARGUMENTS of `run` below — closing over
+    # them would bake them into the HLO as constants and ship 768MB+ to the
+    # remote compiler (the round-1 "tunnel hang": noscan_1m compiles in 2s,
+    # the closure version never finishes).
     if dtype == "int8":
         c8, sc = quantize_corpus_t(ct)
-        inner = lambda qq: T.cosine_topk_fused_int8(qq, c8, sc, K, block_n=block_n)
+        operands = (c8, sc)
+        inner = lambda qq, c, s: T.cosine_topk_fused_int8(qq, c, s, K, block_n=block_n)
         np.asarray(c8[0, 0])
     else:
-        inner = lambda qq: T.cosine_topk_fused(qq, ct, K, precision="fast", block_n=block_n)
+        operands = (ct,)
+        inner = lambda qq, c: T.cosine_topk_fused(qq, c, K, precision="fast", block_n=block_n)
         np.asarray(ct[0, 0])
     _stage("corpus generated + settled")
 
@@ -95,18 +213,18 @@ def main(name: str) -> None:
     qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
 
     @jax.jit
-    def run(qs):
+    def run(qs, *corpus):
         def step(carry, qq):
-            s, i = inner(qq)
+            s, i = inner(qq, *corpus)
             return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
         acc, _ = jax.lax.scan(step, 0.0, qs)
         return acc
 
     _stage("compiling + warmup")
-    np.asarray(run(qs))
+    np.asarray(run(qs, *operands))
     _stage("warm; timing")
     t0 = time.perf_counter()
-    np.asarray(run(qs))
+    np.asarray(run(qs, *operands))
     dt = (time.perf_counter() - t0) / R
     line = f"{name} N={N}: {dt * 1e3:.2f} ms/batch ({q / dt:,.0f} QPS)"
     with open(LOG, "a") as f:

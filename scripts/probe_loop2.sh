@@ -24,7 +24,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if canary; then
     echo "healthy $(date -Is)" >> scripts/tunnel_health.log
     for exp in $remaining; do
-      timeout 600 python scripts/kernel_probe.py "$exp" >>scripts/tunnel_health.log 2>&1 \
+      timeout 1500 python scripts/kernel_probe.py "$exp" >>scripts/tunnel_health.log 2>&1 \
         || { echo "probe_failed $exp $(date -Is)" >> scripts/tunnel_health.log; break; }
     done
   else

@@ -57,6 +57,9 @@ class Settings:
     # Serving ports (reference registry, SURVEY.md §5)
     ports: dict = field(default_factory=lambda: dict(PORTS))
 
+    # Serving runtime
+    batch_queries: bool = True  # dynamic micro-batching on the query path
+
     # Timeouts
     base_timeout_s: float = 30.0
 
@@ -110,6 +113,7 @@ def _from_env() -> Settings:
         topk_method=env.get("RAGFIN_TOPK_METHOD", "auto"),
         index_dtype=env.get("RAGFIN_INDEX_DTYPE", "float32"),
         base_timeout_s=float(env.get("RAGFIN_TIMEOUT_S", "30")),
+        batch_queries=env.get("RAGFIN_BATCH_QUERIES", "1") not in ("0", "false", "no"),
     )
 
 

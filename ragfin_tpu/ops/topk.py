@@ -222,9 +222,16 @@ def _fused_kernel(
         acc_s[:] = jnp.full_like(acc_s, NEG_INF)
         acc_i[:] = jnp.full_like(acc_i, _INT_MAX)
 
+    lhs, rhs = q_ref[:], ct_ref[:]
+    if lhs.dtype != rhs.dtype:
+        # Mosaic rejects mixed-dtype matmuls at fp32 contract precision
+        # ("Bad rhs type"): unify on the query dtype (exact tier: bf16
+        # corpus tile upcast to f32 on-chip — costs a per-tile convert, not
+        # 2x HBM traffic; fast tier already bf16-casts queries in the caller).
+        rhs = rhs.astype(lhs.dtype)
     scores = jnp.dot(
-        q_ref[:],
-        ct_ref[:],
+        lhs,
+        rhs,
         preferred_element_type=jnp.float32,
         precision=_PRECISIONS[precision],
     )

@@ -13,6 +13,7 @@ axis that makes 10M-chunk corpora query at speed-of-light (BASELINE.json).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -25,6 +26,27 @@ from ..data.models import IndexedChunk
 from ..models.bag_encoder import l2_normalize
 from ..ops import topk as topk_ops
 from .mesh import make_mesh
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_program(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    n_valid: int,
+    method: str,
+    precision: str,
+    shard_cols: int,
+    with_scales: bool,
+):
+    """Build + jit the shard_map top-k program once per configuration.
+
+    Without this cache every search call re-traced the shard_map eagerly
+    (measured: ~2.7s/call on the TPU tunnel vs ~ms for the cached
+    executable); jit alone would not help because a fresh closure per call
+    never hits the jit cache."""
+    fn = _build_sharded(mesh, axis, k, n_valid, method, precision, shard_cols, with_scales)
+    return jax.jit(fn)
 
 
 def sharded_cosine_topk(
@@ -46,7 +68,26 @@ def sharded_cosine_topk(
     n_total = corpus_t_sharded.shape[1]
     n_dev = mesh.shape[axis]
     shard_cols = n_total // n_dev
+    if method == "int8" and scales is None:
+        raise ValueError("method='int8' requires scales")
+    program = _sharded_program(
+        mesh, axis, k, int(n_valid), method, precision, shard_cols, scales is not None
+    )
+    if scales is not None:
+        return program(queries, corpus_t_sharded, scales)
+    return program(queries, corpus_t_sharded)
 
+
+def _build_sharded(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    n_valid: int,
+    method: str,
+    precision: str,
+    shard_cols: int,
+    with_scales: bool,
+):
     def _merge(q, s, i, base):
         gids = i + base
         # Safety net: invalid candidates were already masked to -inf before
@@ -64,9 +105,6 @@ def sharded_cosine_topk(
     local_k = min(k, shard_cols)
 
     if method == "int8":
-        if scales is None:
-            raise ValueError("method='int8' requires scales")
-
         def local_int8(q, ct_local, scales_local):
             shard = jax.lax.axis_index(axis)
             base = shard * shard_cols
@@ -78,14 +116,13 @@ def sharded_cosine_topk(
             )
             return _merge(q, s, i, base)
 
-        fn = shard_map(
+        return shard_map(
             local_int8,
             mesh=mesh,
             in_specs=(P(), P(None, axis), P(None, axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(queries, corpus_t_sharded, scales)
 
     def local(q, ct_local):
         shard = jax.lax.axis_index(axis)
@@ -107,14 +144,13 @@ def sharded_cosine_topk(
             )
         return _merge(q, s, i, base)
 
-    fn = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, corpus_t_sharded)
 
 
 class ShardedVectorIndex:

@@ -53,11 +53,20 @@ class VectorRAG:
             from .queryfilter import FilteredSearch
 
             self._searcher = FilteredSearch(index)
+        # Optional dynamic micro-batcher (serving/batcher.py); attached by
+        # the engine so concurrent single-query callers share device
+        # dispatches. Single-query entry points route through it when set.
+        self.batcher = None
 
     def _search_texts(self, queries, top_k: int):
         if self._searcher is not None:
             return self._searcher.search_texts(queries, top_k=top_k)
         return self.index.search_texts(queries, top_k=top_k)
+
+    def _search_one(self, query: str, top_k: int):
+        if self.batcher is not None:
+            return self.batcher.search(query, top_k=top_k)
+        return self._search_texts([query], top_k)[0]
 
     @property
     def analyst(self):
@@ -70,7 +79,7 @@ class VectorRAG:
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
         with METRICS.timed("vector.search"):
-            hits = self._search_texts([query], top_k=top_k)[0]
+            hits = self._search_one(query, top_k)
         return [h.to_dict() for h in hits]
 
     def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
@@ -79,7 +88,7 @@ class VectorRAG:
     # --- answer (MCP tool `answer_question` contract) ---------------------
     async def search_and_answer(self, question: str, top_k: int = 3) -> dict[str, Any]:
         with METRICS.timed("vector.search_and_answer"):
-            hits = self._search_texts([question], top_k=top_k)[0]
+            hits = self._search_one(question, top_k)
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,

@@ -43,6 +43,15 @@ class RagFinEngine:
         self.graph_builder = GraphBuilder(self.graph, extractor=extractor, provider=self.provider)
         self.vector_rag = VectorRAG(self.vector_index, self.provider)
         self.hybrid = HybridRAG(self.vector_index, self.graph, self.provider)
+        # Default query path: dynamic micro-batching over the production
+        # retrieval pipeline — concurrent callers share device dispatches
+        # (round-1 verdict #8; disable with RAGFIN_BATCH_QUERIES=0).
+        self.batcher = None
+        if self.settings.batch_queries:
+            from .batcher import QueryBatcher
+
+            self.batcher = QueryBatcher(self.vector_rag._search_texts).start()
+            self.vector_rag.batcher = self.batcher
         logger.info(
             "engine ready: %d chunks indexed (dim=%d, %s), %d graph facts, provider=%s",
             self.vector_index.n, self.vector_index.dim,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import asyncio
 import inspect
 import json
+import threading
 import uuid
 from typing import Any, Callable, Optional
 
@@ -34,6 +35,30 @@ from .engine import RagFinEngine, get_engine
 from .httpd import AppServer, JsonApp, Request, Response
 
 PROTOCOL_VERSION = "2025-03-26"
+
+# One shared event loop on a dedicated thread for async tool bodies.
+# Tool calls arrive on per-connection HTTP handler threads; running
+# ``asyncio.run`` per call would spin up an event loop per request and let
+# provider coroutines (and their RateLimiter state) interleave across many
+# loops. A single long-lived loop serializes coroutine state while handler
+# threads block only on their own future (round-1 verdict #8).
+_loop_lock = threading.Lock()
+_shared_loop: Optional[asyncio.AbstractEventLoop] = None
+
+
+def _tool_loop() -> asyncio.AbstractEventLoop:
+    global _shared_loop
+    with _loop_lock:
+        if _shared_loop is None or _shared_loop.is_closed():
+            loop = asyncio.new_event_loop()
+            threading.Thread(target=loop.run_forever, daemon=True, name="mcp-tool-loop").start()
+            _shared_loop = loop
+    return _shared_loop
+
+
+def run_tool_coroutine(coro, timeout: float = 120.0):
+    """Run an async tool body on the shared loop from any handler thread."""
+    return asyncio.run_coroutine_threadsafe(coro, _tool_loop()).result(timeout=timeout)
 
 
 class MCPToolServer:
@@ -108,7 +133,7 @@ class MCPToolServer:
             try:
                 out = tool["fn"](**arguments)
                 if asyncio.iscoroutine(out):
-                    out = asyncio.run(out)
+                    out = run_tool_coroutine(out)
             except Exception as e:
                 out = {"success": False, "error": str(e)}
             content = [{"type": "text", "text": json.dumps(out, ensure_ascii=False, default=str)}]
@@ -147,7 +172,21 @@ def build_vector_mcp(engine: Optional[RagFinEngine] = None) -> MCPToolServer:
 
     @server.tool(description="Vector collection statistics")
     def get_collection_stats():
-        return {"success": True, **engine.vector_index.stats()}
+        from ..utils.profiling import METRICS
+
+        metrics = METRICS.summary()
+        batcher = {
+            k: v for k, v in metrics.get("counters", {}).items() if k.startswith("batcher.")
+        }
+        batcher.update(
+            {k: v for k, v in metrics.get("latency_ms", {}).items() if k.startswith("batcher.")}
+        )
+        return {
+            "success": True,
+            **engine.vector_index.stats(),
+            "batching_enabled": engine.batcher is not None,
+            "batcher": batcher,
+        }
 
     return server
 

@@ -166,8 +166,72 @@ def graph_match_10m() -> None:
     print(line)
 
 
+def ceiling_1m() -> None:
+    """Perf ceiling probe: same grid/DMA/matmul/row-max as the fused kernel
+    but NO merge (results are wrong on purpose) — separates the cost of the
+    data movement + MXU from the while-loop selection."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, q, k, bn = 1_000_000, 64, 10, 2048
+
+    def kern(q_ref, ct_ref, out_ref, acc):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc[:] = jnp.zeros_like(acc)
+
+        s = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
+        acc[:] = acc[:] + jnp.max(s, axis=-1, keepdims=True)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _flush():
+            out_ref[:] = acc[:]
+
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, n), jnp.bfloat16)
+    npd = n  # already multiple of 2048
+    qs16 = jax.random.normal(jax.random.PRNGKey(1), (16, 128, D), jnp.bfloat16)
+    np.asarray(ct[0, 0])
+
+    def one(qq, c):
+        return pl.pallas_call(
+            kern,
+            grid=(1, npd // bn),
+            in_specs=[
+                pl.BlockSpec((128, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((D, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((128, 1), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((128, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((128, 1), jnp.float32)],
+        )(qq, c)
+
+    @jax.jit
+    def run(qs16, c):
+        def step(carry, qq):
+            return carry + one(qq, c)[0, 0], None
+        acc, _ = jax.lax.scan(step, 0.0, qs16)
+        return acc
+
+    _stage("ceiling: compiling")
+    np.asarray(run(qs16, ct))
+    t0 = time.perf_counter()
+    np.asarray(run(qs16, ct))
+    dt = (time.perf_counter() - t0) / 16
+    line = f"ceiling_1m matmul+rowmax only: {dt*1e3:.2f} ms/batch (Q=64 eq)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def main(name: str) -> None:
     global N
+    if name == "ceiling_1m":
+        _stage(f"start ceiling_1m backend={jax.default_backend()}")
+        return ceiling_1m()
     if name == "graph_match_10m":
         _stage(f"start graph_match_10m backend={jax.default_backend()}")
         return graph_match_10m()

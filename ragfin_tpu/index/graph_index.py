@@ -103,8 +103,10 @@ def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: i
 
         def body(st):
             h, cnt, acc = st
-            idx = jnp.argmax(h, axis=-1)  # [1] first hit in the tile
-            acc = jnp.where(slot == cnt, base + idx[:, None], acc)
+            # argmax over f32 (Mosaic lowers index-reductions for f32 only);
+            # first 1.0 = first hit, ties break to the lowest index.
+            idx = jnp.argmax(h.astype(jnp.float32), axis=-1)  # [1]
+            acc = jnp.where(slot == cnt, base + idx[:, None].astype(jnp.int32), acc)
             h = jnp.logical_and(h, iota != idx[:, None])
             return h, cnt + 1, acc
 

@@ -91,7 +91,7 @@ def noscan_1m() -> None:
     print(line)
 
 
-def shardmap_fused_1dev() -> None:
+def shardmap_fused_1dev(tag: str = "shardmap_fused_1dev") -> None:
     """Production composition on hardware (round-1 verdict #7): the fused
     Pallas kernel inside shard_map on a 1-device mesh — proves the
     combination compiles and runs on TPU even without multi-chip."""
@@ -116,7 +116,7 @@ def shardmap_fused_1dev() -> None:
         s, i = sharded_cosine_topk(mesh, "data", qs, ct, k, n_valid=n, method="fused")
     np.asarray(s[0, 0])
     dt = (time.perf_counter() - t0) / 4
-    line = f"shardmap_fused_1dev compile={compile_s:.1f}s exec={dt*1e3:.2f} ms/batch (dispatch incl.)"
+    line = f"{tag} compile={compile_s:.1f}s exec={dt*1e3:.2f} ms/batch (dispatch incl.)"
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line)
@@ -235,9 +235,9 @@ def main(name: str) -> None:
     if name == "graph_match_10m":
         _stage(f"start graph_match_10m backend={jax.default_backend()}")
         return graph_match_10m()
-    if name == "shardmap_fused_1dev":
-        _stage(f"start shardmap_fused_1dev backend={jax.default_backend()}")
-        return shardmap_fused_1dev()
+    if name.startswith("shardmap"):
+        _stage(f"start {name} backend={jax.default_backend()}")
+        return shardmap_fused_1dev(tag=name)
     if name == "oracle_check":
         _stage(f"start oracle_check backend={jax.default_backend()}")
         return oracle_check()

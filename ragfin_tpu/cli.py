@@ -59,16 +59,48 @@ def _engine(args):
     return RagFinEngine(settings)
 
 
+# The reference's canned smoke questions (retrieve.py:90-102).
+_CANNED_QUESTIONS = [
+    "What was ICICI Bank's net profit in Q1 FY2024?",
+    "What was the total income in Q2 FY2024?",
+    "How did net profit trend across all quarters of FY2024?",
+    "Which quarter had the lowest cost ratio?",
+    "What was the retail banking segment revenue in Q4 FY2024?",
+]
+
+
+def _answer_one(engine, mode: str, question: str, k: int) -> dict:
+    if mode == "vector":
+        return asyncio.run(engine.vector_rag.search_and_answer(question, k))
+    if mode == "graph":
+        return asyncio.run(engine.graph_builder.query_engine.query(question, k))
+    return asyncio.run(engine.hybrid.hybrid_query(question, vector_k=k))
+
+
 def cmd_query(args) -> int:
     engine = _engine(args)
     if args.mode in ("graph", "hybrid"):
         engine.graph_builder.build_from_vector_index(engine.vector_index)
-    if args.mode == "vector":
-        out = asyncio.run(engine.vector_rag.search_and_answer(args.question, args.k))
-    elif args.mode == "graph":
-        out = asyncio.run(engine.graph_builder.query_engine.query(args.question, args.k))
-    else:
-        out = asyncio.run(engine.hybrid.hybrid_query(args.question, vector_k=args.k))
+    if getattr(args, "interactive", False):
+        # Reference interactive main (retrieve.py:90-111): run the canned
+        # test questions, then loop on stdin until quit/exit/EOF.
+        for q in _CANNED_QUESTIONS:
+            out = _answer_one(engine, args.mode, q, args.k)
+            print(f"\nQ: {q}\nA: {out.get('answer') or out.get('results')}")
+        while True:
+            try:
+                q = input("\nYour question (quit to exit): ").strip()
+            except EOFError:
+                break
+            if not q or q.lower() in ("quit", "exit", "q"):
+                break
+            out = _answer_one(engine, args.mode, q, args.k)
+            print(f"A: {out.get('answer') or out.get('results')}")
+        return 0
+    if not args.question:
+        print("error: question required unless --interactive", file=sys.stderr)
+        return 2
+    out = _answer_one(engine, args.mode, args.question, args.k)
     print(json.dumps(out, indent=2, ensure_ascii=False, default=str))
     return 0
 
@@ -155,7 +187,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_build_index)
 
     p = sub.add_parser("query", help="answer a question")
-    p.add_argument("question")
+    p.add_argument("question", nargs="?", default=None)
+    p.add_argument("--interactive", action="store_true",
+                   help="canned smoke questions then a stdin loop (retrieve.py:104-111)")
     p.add_argument("--mode", choices=["vector", "graph", "hybrid"], default="vector")
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--model", default="fake")

@@ -86,3 +86,23 @@ class TestLauncher:
         finally:
             for server in servers.values():
                 server.stop()
+
+
+class TestInteractive:
+    def test_question_required_without_interactive(self, reference_root, capsys):
+        rc = main(["query", "--data", f"{reference_root}/extract_data", "--index", ""])
+        assert rc == 2
+
+    def test_interactive_loop(self, reference_root, capsys, monkeypatch):
+        """Reference retrieve.py:90-111 parity: canned questions then a
+        stdin loop that exits on 'quit'."""
+        answers = iter(["What was EPS in Q1 FY2024?", "quit"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+        rc = main([
+            "query", "--interactive",
+            "--data", f"{reference_root}/extract_data", "--index", "",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("Q: ") == 5  # all five canned questions ran
+        assert "15.22" in out  # the stdin question was answered

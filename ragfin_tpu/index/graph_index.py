@@ -117,7 +117,8 @@ def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: i
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
         out_ids_ref[:] = acc_ids[:]
-        out_cnt_ref[0, 0] = acc_cnt[0]
+        # Full-block store: Mosaic cannot store scalars to VMEM outputs.
+        out_cnt_ref[:] = jnp.full((1, 1), acc_cnt[0], jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))

@@ -74,14 +74,20 @@ _RANK_MISS = jnp.int32(-0x80000000)  # sentinel strictly below any -row_idx
 _INT_MAX = 0x7FFFFFFF
 
 
+_SUBLANES = 8
+
+
 def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: int, block_n: int):
-    """Pallas streaming first-k: walk [1, TN] tiles of the hit vector in row
-    order, extracting hit row-ids until k are found. Facts are CSR-sorted
+    """Pallas streaming first-k: walk [8, TN/8] tiles of the hit vector in
+    row order, extracting hit row-ids until k are found. Facts are CSR-sorted
     (quarter-major), so the first k hits ARE the top-k under the reference's
     ``ORDER BY q.period`` — no sort materialized (``lax.top_k`` at 10M rows
     would full-sort the fact table per query). Tiles after the kth hit cost
-    one vector compare each."""
+    one vector compare each. Extraction is a min-reduction over linear
+    indices (Mosaic has no bool argmax, and 1×N i1 vectors hit layout bugs —
+    hence the 8-sublane tile shape and index arithmetic)."""
     j = pl.program_id(0)
+    lanes = block_n // _SUBLANES
 
     @pl.when(j == 0)
     def _init():
@@ -92,25 +98,26 @@ def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: i
 
     @pl.when(cnt0 < k)
     def _scan():
-        h = hit_ref[:] != 0  # [1, TN]
+        h = hit_ref[:] != 0  # [8, lanes]
         base = j * block_n
-        iota = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        lin = row * lanes + col  # position within the tile, row-major
         slot = jax.lax.broadcasted_iota(jnp.int32, acc_ids.shape, 1)  # [1, k]
 
         def cond(st):
-            h, cnt, _ = st
-            return jnp.logical_and(cnt < k, jnp.any(h))
+            _, cnt, acc, best = st
+            return jnp.logical_and(cnt < k, best < _INT_MAX)
 
         def body(st):
-            h, cnt, acc = st
-            # argmax over f32 (Mosaic lowers index-reductions for f32 only);
-            # first 1.0 = first hit, ties break to the lowest index.
-            idx = jnp.argmax(h.astype(jnp.float32), axis=-1)  # [1]
-            acc = jnp.where(slot == cnt, base + idx[:, None].astype(jnp.int32), acc)
-            h = jnp.logical_and(h, iota != idx[:, None])
-            return h, cnt + 1, acc
+            h, cnt, acc, best = st
+            acc = jnp.where(slot == cnt, base + best, acc)
+            h = jnp.logical_and(h, lin != best)
+            nxt = jnp.min(jnp.where(h, lin, _INT_MAX))
+            return h, cnt + 1, acc, nxt
 
-        _, cnt2, acc2 = jax.lax.while_loop(cond, body, (h, cnt0, acc_ids[:]))
+        first = jnp.min(jnp.where(h, lin, _INT_MAX))
+        _, cnt2, acc2, _ = jax.lax.while_loop(cond, body, (h, cnt0, acc_ids[:], first))
         acc_ids[:] = acc2
         acc_cnt[0] = cnt2
 
@@ -127,14 +134,17 @@ def masked_first_k(hit: jax.Array, k: int, block_n: int = 131072, interpret: boo
     Pallas kernel. Returns (ids [k] int32 with INT_MAX padding, count)."""
     n = hit.shape[0]
     pad = -n % block_n
-    h = jnp.reshape(hit.astype(jnp.int8), (1, n))
+    h = hit.astype(jnp.int8)
     if pad:
-        h = jnp.pad(h, ((0, 0), (0, pad)))
-    grid = (h.shape[1] // block_n,)
+        h = jnp.pad(h, ((0, pad),))
+    n_tiles = h.shape[0] // block_n
+    # Tile j occupies rows [8j, 8j+8) of the row-major [tiles*8, block_n/8]
+    # view — contiguous with the original order.
+    h = jnp.reshape(h, (n_tiles * _SUBLANES, block_n // _SUBLANES))
     out_ids, out_cnt = pl.pallas_call(
         functools.partial(_first_k_kernel, k=k, block_n=block_n),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, block_n), lambda j: (0, j))],
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((_SUBLANES, block_n // _SUBLANES), lambda j: (j, 0))],
         out_specs=[
             pl.BlockSpec((1, k), lambda j: (0, 0)),
             pl.BlockSpec((1, 1), lambda j: (0, 0)),

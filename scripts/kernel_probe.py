@@ -39,6 +39,11 @@ EXPERIMENTS = {
     "bf16v2_bn2048_q64": ("bf16", 2048, 64),
     "bf16v2_bn4096_q64": ("bf16", 4096, 64),
     "bf16v2_bn2048_q1024": ("bf16", 2048, 1024),
+    # tenm_* = 10M-chunk corpus (BASELINE.json north star). int8 = 3.8GB,
+    # bf16 = 7.7GB HBM resident.
+    "tenm_int8_q1024": ("int8", 2048, 1024),
+    "tenm_int8_q64": ("int8", 2048, 64),
+    "tenm_bf16_q64": ("bf16", 2048, 64),
 }
 
 
@@ -247,6 +252,8 @@ def main(name: str) -> None:
     dtype, block_n, q = EXPERIMENTS[name]
     if name.startswith("canary"):
         N = 65536
+    elif name.startswith("tenm_"):
+        N = 10_000_000
     _stage(f"start {name} N={N} backend={jax.default_backend()}")
 
     @jax.jit
@@ -265,6 +272,7 @@ def main(name: str) -> None:
         operands = (c8, sc)
         inner = lambda qq, c, s: T.cosine_topk_fused_int8(qq, c, s, K, block_n=block_n)
         np.asarray(c8[0, 0])
+        del ct  # free the 7.7GB bf16 source at 10M before the timed runs
     else:
         operands = (ct,)
         inner = lambda qq, c: T.cosine_topk_fused(qq, c, K, precision="fast", block_n=block_n)

@@ -232,8 +232,56 @@ def ceiling_1m() -> None:
     print(line)
 
 
+def adversarial_1m() -> None:
+    """Worst case for the streaming merge: corpus columns sorted ascending
+    by score against the query direction, so every tile improves the running
+    top-k k times (round-1 verdict #2 asks for this measured)."""
+    n, q, k, bn = 1_000_000, 64, 10, 2048
+    _stage("adversarial: building sorted corpus")
+    key = jax.random.PRNGKey(0)
+    d0 = jax.random.normal(jax.random.PRNGKey(9), (D,), jnp.float32)
+    d0 = d0 / jnp.linalg.norm(d0)
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (D, n), jnp.bfloat16)
+        nrm = jnp.sqrt(jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32))
+        x = x / nrm[None, :].astype(jnp.bfloat16)
+        scores = d0.astype(jnp.bfloat16) @ x
+        order = jnp.argsort(scores)  # ascending: later ids always improve
+        return x[:, order]
+
+    ct = gen(key)
+    np.asarray(ct[0, 0])
+    # Queries clustered near d0 so the ascending order is adversarial for all.
+    qs = d0[None, :] + 0.1 * jax.random.normal(jax.random.PRNGKey(2), (q, D), jnp.float32)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    qs16 = jnp.broadcast_to(qs, (8, q, D))
+
+    @jax.jit
+    def run(qs16, c):
+        def step(carry, qq):
+            s, i = T.cosine_topk_fused(qq, c, k, precision="fast", block_n=bn)
+            return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
+        acc, _ = jax.lax.scan(step, 0.0, qs16)
+        return acc
+
+    _stage("adversarial: compiling")
+    np.asarray(run(qs16, ct))
+    t0 = time.perf_counter()
+    np.asarray(run(qs16, ct))
+    dt = (time.perf_counter() - t0) / 8
+    line = f"adversarial_1m ascending-order bf16: {dt*1e3:.2f} ms/batch (Q=64)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def main(name: str) -> None:
     global N
+    if name == "adversarial_1m":
+        _stage(f"start adversarial_1m backend={jax.default_backend()}")
+        return adversarial_1m()
     if name == "ceiling_1m":
         _stage(f"start ceiling_1m backend={jax.default_backend()}")
         return ceiling_1m()

@@ -264,18 +264,27 @@ class DeviceVectorIndex:
             period, chunk_type, predicate, periods=periods, company=company
         )
         if mask is not None:
-            from ..ops.topk import cosine_topk_dense
+            if self.quantized:
+                from ..ops.topk import cosine_topk_dense_int8
 
-            matrix = (
-                self.matrix_t.astype(jnp.float32) * self.scales if self.quantized else self.matrix_t
-            )
-            scores, rows = cosine_topk_dense(
-                jnp.asarray(q, jnp.float32),
-                matrix,
-                min(fetch_k, max(self.n, 1)),
-                n_valid=self.n,
-                row_mask=jnp.asarray(mask),
-            )
+                scores, rows = cosine_topk_dense_int8(
+                    jnp.asarray(q, jnp.float32),
+                    self.matrix_t,
+                    self.scales,
+                    min(fetch_k, max(self.n, 1)),
+                    n_valid=self.n,
+                    row_mask=jnp.asarray(mask),
+                )
+            else:
+                from ..ops.topk import cosine_topk_dense
+
+                scores, rows = cosine_topk_dense(
+                    jnp.asarray(q, jnp.float32),
+                    self.matrix_t,
+                    min(fetch_k, max(self.n, 1)),
+                    n_valid=self.n,
+                    row_mask=jnp.asarray(mask),
+                )
         else:
             scores, rows = self.search_embeddings(q, top_k=fetch_k, method=method)
         scores = np.asarray(scores)

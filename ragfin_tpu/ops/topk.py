@@ -89,6 +89,32 @@ def cosine_topk_dense(
     return top_scores, top_ids.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_dense_int8(
+    queries: jax.Array,
+    corpus_i8: jax.Array,
+    scales: jax.Array,
+    k: int,
+    n_valid=None,
+    row_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense scoring over the int8 corpus WITHOUT dequantizing it in HBM:
+    int8×int8 MXU matmul with int32 accumulation, per-column dequant of the
+    [Q, N] score matrix only. Used for metadata-filtered search on quantized
+    indexes (the fused int8 kernel has no row-mask input; materializing a
+    f32 copy of a 1M-chunk corpus per filtered query would be 1.5 GB)."""
+    from .quantize import quantize_queries
+
+    q8, qscale = quantize_queries(queries)
+    int_scores = jax.lax.dot_general(
+        q8, corpus_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = int_scores.astype(jnp.float32) * qscale * scales
+    scores = _score_mask(scores, n_valid, row_mask)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block", "precision"))
 def cosine_topk_blocked(
     queries: jax.Array,

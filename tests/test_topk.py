@@ -193,3 +193,42 @@ class TestTies:
         ):
             s, i = fn(q, ct, 6, **kw)
             assert np.array_equal(np.asarray(i), ei), fn.__name__
+
+
+class TestDenseInt8:
+    def test_masked_search_matches_dequantized(self, data):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+        from ragfin_tpu.ops.topk import cosine_topk_dense, cosine_topk_dense_int8
+
+        q, ct = data
+        c8, sc = quantize_corpus_t(jnp.asarray(ct))
+        mask = np.zeros((ct.shape[1],), bool)
+        mask[100:400] = True
+        s8, i8 = cosine_topk_dense_int8(
+            jnp.asarray(q), c8, sc, 5, row_mask=jnp.asarray(mask)
+        )
+        dq = jnp.asarray(c8, jnp.float32) * sc
+        sf, if_ = cosine_topk_dense(jnp.asarray(q), dq, 5, row_mask=jnp.asarray(mask))
+        # Same corpus values (the dequantized matrix), so ids must agree up to
+        # query-quantization noise; all results must respect the mask.
+        assert int(np.asarray(i8).min()) >= 100 and int(np.asarray(i8).max()) < 400
+        overlap = np.mean([
+            len(set(np.asarray(i8)[r]) & set(np.asarray(if_)[r])) / 5
+            for r in range(q.shape[0])
+        ])
+        assert overlap >= 0.8
+
+    def test_quantized_filtered_index_search(self, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        idx = DeviceVectorIndex.build(chunks, dtype="int8")
+        hits = idx.search_texts(
+            ["net profit"], top_k=3, period="Q2_FY2024",
+            chunk_type="profitability_analysis",
+        )[0]
+        assert len(hits) == 1
+        assert hits[0].record.id == "icici_q2_fy2024_profitability_analysis"

@@ -103,21 +103,25 @@ def _first_k_kernel(hit_ref, out_ids_ref, out_cnt_ref, acc_ids, acc_cnt, *, k: i
         row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
         lin = row * lanes + col  # position within the tile, row-major
+        # Loop-INVARIANT hit positions: Mosaic cannot legalize while-loops
+        # that carry large i1 vectors, so the loop carries only scalars and
+        # the small accumulator; "next hit" = min position greater than the
+        # last one extracted.
+        hit_lin = jnp.where(h, lin, _INT_MAX)  # i32 [8, lanes]
         slot = jax.lax.broadcasted_iota(jnp.int32, acc_ids.shape, 1)  # [1, k]
 
         def cond(st):
-            _, cnt, acc, best = st
+            cnt, _, best = st
             return jnp.logical_and(cnt < k, best < _INT_MAX)
 
         def body(st):
-            h, cnt, acc, best = st
+            cnt, acc, best = st
             acc = jnp.where(slot == cnt, base + best, acc)
-            h = jnp.logical_and(h, lin != best)
-            nxt = jnp.min(jnp.where(h, lin, _INT_MAX))
-            return h, cnt + 1, acc, nxt
+            nxt = jnp.min(jnp.where(hit_lin > best, hit_lin, _INT_MAX))
+            return cnt + 1, acc, nxt
 
-        first = jnp.min(jnp.where(h, lin, _INT_MAX))
-        _, cnt2, acc2, _ = jax.lax.while_loop(cond, body, (h, cnt0, acc_ids[:], first))
+        first = jnp.min(hit_lin)
+        cnt2, acc2, _ = jax.lax.while_loop(cond, body, (cnt0, acc_ids[:], first))
         acc_ids[:] = acc2
         acc_cnt[0] = cnt2
 

@@ -25,6 +25,7 @@ L2-normalized (cosine == dot); pass ``n_valid`` to mask padded corpus columns.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 _INT_MAX = 0x7FFFFFFF
+
+# Merge-loop variant for the fused kernels (see _stream_merge): "invariant"
+# (default) closes over the score tile; "carry" threads a masked copy
+# through the while loop. Env-selectable for A/B probes on hardware.
+_MERGE_INVARIANT = os.environ.get("RAGFIN_MERGE_VARIANT", "invariant") != "carry"
 
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,  # f32-accurate (multi-pass on MXU)
@@ -184,20 +190,53 @@ def _sorted_insert(acc_s, acc_i, s, ids, k: int):
     return new_s, new_i
 
 
-def _stream_merge(scores, col0, acc_s, acc_i, k: int):
+def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] = None):
     """Merge a [R, TN] score tile into the sorted running top-k.
 
     One candidate per row per iteration: extract the row max (argmax breaks
-    ties toward the lowest id), sorted-insert it, mask it out, repeat while
-    any row can still improve. Expected iterations per tile fall like k/j on
+    ties toward the lowest id), sorted-insert it, advance, repeat while any
+    row can still improve. Expected iterations per tile fall like k/j on
     shuffled corpora (j = tiles seen), so the steady-state tile cost is one
     matmul + one row-max — the HBM-bandwidth speed-of-light. The strict ``>``
     improvement test is exact: global ids grow with the tile index, so a
     later candidate that ties the kth score always loses the tie-break and
     can never belong in the top-k. (This also stops zero-score query pad
     rows from forcing a merge on every tile, which the previous ``>=`` k-pass
-    extraction paid for.)"""
+    extraction paid for.)
+
+    ``invariant=True`` keeps the score tile loop-INVARIANT: instead of
+    masking extracted winners out of a carried copy (a [R, TN] f32 tensor
+    flowing through every ``while`` iteration, which Mosaic must keep live
+    and which blocks some i1/layout legalizations), each iteration finds the
+    successor of the last-extracted candidate in (score desc, id asc) order
+    with pure reductions over the original tile."""
     iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    if invariant is None:
+        invariant = _MERGE_INVARIANT
+
+    if invariant:
+        def cond(state):
+            a_s, _, cur_s, _ = state
+            return jnp.any(cur_s > a_s[:, k - 1])
+
+        def body(state):
+            a_s, a_i, cur_s, cur_i = state
+            a_s, a_i = _sorted_insert(a_s, a_i, cur_s, cur_i + col0, k)
+            # Successor of (cur_s, cur_i) in (score desc, id asc) order.
+            later = (scores < cur_s[:, None]) | (
+                (scores == cur_s[:, None]) & (iota > cur_i[:, None])
+            )
+            masked = jnp.where(later, scores, NEG_INF)
+            nxt_i = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            nxt_s = jnp.max(masked, axis=-1)
+            return a_s, a_i, nxt_s, nxt_i
+
+        cur_s = jnp.max(scores, axis=-1)
+        cur_i = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        new_s, new_i, _, _ = jax.lax.while_loop(
+            cond, body, (acc_s, acc_i, cur_s, cur_i)
+        )
+        return new_s, new_i
 
     def cond(state):
         _, a_s, _, row_max = state

@@ -44,6 +44,11 @@ EXPERIMENTS = {
     "tenm_int8_q1024": ("int8", 2048, 1024),
     "tenm_int8_q64": ("int8", 2048, 64),
     "tenm_bf16_q64": ("bf16", 2048, 64),
+    # v3 = loop-invariant merge (RAGFIN_MERGE_VARIANT default "invariant").
+    "bf16v3_bn2048_q64": ("bf16", 2048, 64),
+    "int8v3_bn2048_q64": ("int8", 2048, 64),
+    "bf16v3_bn2048_q1024": ("bf16", 2048, 1024),
+    "int8v3_bn2048_q1024": ("int8", 2048, 1024),
 }
 
 

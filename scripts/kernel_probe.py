@@ -49,6 +49,10 @@ EXPERIMENTS = {
     "int8v3_bn2048_q64": ("int8", 2048, 64),
     "bf16v3_bn2048_q1024": ("bf16", 2048, 1024),
     "int8v3_bn2048_q1024": ("int8", 2048, 1024),
+    # q128 = one FULL query tile (no zero pads): isolates whether the Q=64
+    # gap vs the ceiling probe comes from the 64 padded rows.
+    "bf16v3_bn2048_q128": ("bf16", 2048, 128),
+    "int8v3_bn2048_q128": ("int8", 2048, 128),
 }
 
 

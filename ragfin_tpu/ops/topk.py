@@ -366,6 +366,9 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
             bytes_accessed=np_ * d * corpus_t.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), queries, corpus_t)
     return out_s[:q], out_i[:q]
@@ -481,6 +484,9 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * np_ * d, bytes_accessed=np_ * d, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), q8, qscale, corpus_i8, scales)

@@ -53,6 +53,10 @@ EXPERIMENTS = {
     # gap vs the ceiling probe comes from the 64 padded rows.
     "bf16v3_bn2048_q128": ("bf16", 2048, 128),
     "int8v3_bn2048_q128": ("int8", 2048, 128),
+    # v4 = dimension_semantics=(parallel, arbitrary) compiler params.
+    "bf16v4_bn2048_q64": ("bf16", 2048, 64),
+    "bf16v4_bn2048_q1024": ("bf16", 2048, 1024),
+    "int8v4_bn2048_q1024": ("int8", 2048, 1024),
 }
 
 

@@ -77,6 +77,16 @@ def main() -> None:
         nrm2 = jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32)
         return x * jax.lax.rsqrt(nrm2 + 1e-12)[None, :].astype(jnp.bfloat16)
 
+    # Tunnel canary with retries before committing to the big corpus gen —
+    # a degraded window is better spent sleeping than hanging mid-transfer.
+    for attempt in range(4):
+        try:
+            assert float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))) > 0
+            break
+        except Exception as e:
+            print(f"# canary attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(15)
+
     ct = gen_corpus_t(jax.random.PRNGKey(0))
     # Corpus tensors are explicit jit ARGUMENTS of `run` — closing over them
     # would bake them into the HLO as 768MB+ constants shipped to the remote

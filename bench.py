@@ -61,10 +61,13 @@ def main() -> None:
 
     # Persistent compilation cache: a successful compile survives process
     # restarts, so a short healthy tunnel window is enough for later runs.
+    # TPU-only: CPU AOT entries are machine-feature-specific and the loader
+    # warns/SIGILLs on mismatch.
     try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if jax.default_backend() == "tpu":
+            cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception as e:  # cache is best-effort
         print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 

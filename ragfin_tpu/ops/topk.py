@@ -267,25 +267,27 @@ def _fused_kernel(
     acc_i,
     *,
     k: int,
+    block_q: int,
     block_n: int,
     precision: str,
 ):
-    """Grid = (Q tiles, N tiles); N is the minor (fastest) dimension.
-
-    Per query tile the kernel walks the corpus column-tiles, keeping the
-    sorted running top-k (scores & global ids) in VMEM scratch. The [TQ, TN]
-    score tile is consumed on-chip right after the MXU produces it via the
-    streaming merge (:func:`_stream_merge`): tiles that cannot improve the
-    top-k cost one matmul + one row-max (the while-loop condition fails
-    immediately), so the steady-state cost is HBM-bandwidth-bound — the
-    speed-of-light for exact search.
-    """
-    j = pl.program_id(1)
+    """Grid = (N tiles, Q tiles); **corpus-major**: each corpus column-tile
+    is DMA'd from HBM exactly ONCE and scored against every query tile while
+    resident in VMEM — total corpus traffic is one read regardless of the
+    query count (the query-major layout re-read all N columns per query
+    tile: 8x the traffic at Q=1024). Per-query-tile running top-k lives in
+    a scratch slab indexed by the query-tile id; the [TQ, TN] score tile is
+    consumed on-chip via the streaming merge (:func:`_stream_merge`), so
+    steady-state cost is HBM-bandwidth-bound — the speed-of-light for exact
+    search."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = pl.ds(i * block_q, block_q)
 
     @pl.when(j == 0)
     def _init():
-        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
-        acc_i[:] = jnp.full_like(acc_i, _INT_MAX)
+        acc_s[rows] = jnp.full((block_q, k), NEG_INF, acc_s.dtype)
+        acc_i[rows] = jnp.full((block_q, k), _INT_MAX, acc_i.dtype)
 
     lhs, rhs = q_ref[:], ct_ref[:]
     if lhs.dtype != rhs.dtype:
@@ -304,14 +306,14 @@ def _fused_kernel(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    new_s, new_i = _stream_merge(scores, col0, acc_s[:], acc_i[:], k)
-    acc_s[:] = new_s
-    acc_i[:] = new_i
+    new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
+    acc_s[rows] = new_s
+    acc_i[rows] = new_i
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
-        out_s_ref[:] = acc_s[:]
-        out_i_ref[:] = acc_i[:]
+        out_s_ref[:] = acc_s[rows]
+        out_i_ref[:] = acc_i[rows]
 
 
 @functools.partial(
@@ -337,24 +339,28 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
         corpus_t = jnp.pad(corpus_t, ((0, 0), (0, pad_n)))
     qp, np_ = queries.shape[0], corpus_t.shape[1]
 
-    grid = (qp // block_q, np_ // block_n)
-    kernel = functools.partial(_fused_kernel, k=k, block_n=block_n, precision=precision)
+    # Corpus-major grid: j (N tiles) is the slow dimension, i (Q tiles) the
+    # fast one, so each corpus tile is read once and reused for all queries.
+    grid = (np_ // block_n, qp // block_q)
+    kernel = functools.partial(
+        _fused_kernel, k=k, block_q=block_q, block_n=block_n, precision=precision
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_q, d), lambda i, j, *prefetch: (i, 0)),
-                pl.BlockSpec((d, block_n), lambda i, j, *prefetch: (0, j)),
+                pl.BlockSpec((block_q, d), lambda j, i, *prefetch: (i, 0)),
+                pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j)),
             ],
             out_specs=[
-                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
-                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.int32),
+                pltpu.VMEM((qp, k), jnp.float32),
+                pltpu.VMEM((qp, k), jnp.int32),
             ],
         ),
         out_shape=[
@@ -363,11 +369,11 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * np_ * d,
-            bytes_accessed=np_ * d * corpus_t.dtype.itemsize,
+            bytes_accessed=np_ * d * corpus_t.dtype.itemsize + qp * d * queries.dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), queries, corpus_t)
@@ -408,16 +414,20 @@ def _fused_kernel_int8(
     acc_i,
     *,
     k: int,
+    block_q: int,
     block_n: int,
 ):
     """Int8 variant of the fused kernel: int8×int8 MXU matmul with int32
-    accumulation, dequantized on-chip by per-row/per-column scales."""
-    j = pl.program_id(1)
+    accumulation, dequantized on-chip by per-row/per-column scales.
+    Corpus-major grid like :func:`_fused_kernel`."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = pl.ds(i * block_q, block_q)
 
     @pl.when(j == 0)
     def _init():
-        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
-        acc_i[:] = jnp.full_like(acc_i, _INT_MAX)
+        acc_s[rows] = jnp.full((block_q, k), NEG_INF, acc_s.dtype)
+        acc_i[rows] = jnp.full((block_q, k), _INT_MAX, acc_i.dtype)
 
     int_scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.int32)
     scores = int_scores.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
@@ -425,14 +435,14 @@ def _fused_kernel_int8(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    new_s, new_i = _stream_merge(scores, col0, acc_s[:], acc_i[:], k)
-    acc_s[:] = new_s
-    acc_i[:] = new_i
+    new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
+    acc_s[rows] = new_s
+    acc_i[rows] = new_i
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
-        out_s_ref[:] = acc_s[:]
-        out_i_ref[:] = acc_i[:]
+        out_s_ref[:] = acc_s[rows]
+        out_i_ref[:] = acc_i[rows]
 
 
 @functools.partial(
@@ -456,26 +466,26 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
         scales = jnp.pad(scales, ((0, 0), (0, pad_n)))
     qp, np_ = q8.shape[0], corpus_i8.shape[1]
 
-    grid = (qp // block_q, np_ // block_n)
-    kernel = functools.partial(_fused_kernel_int8, k=k, block_n=block_n)
+    grid = (np_ // block_n, qp // block_q)
+    kernel = functools.partial(_fused_kernel_int8, k=k, block_q=block_q, block_n=block_n)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_q, d), lambda i, j, *prefetch: (i, 0)),
-                pl.BlockSpec((block_q, 1), lambda i, j, *prefetch: (i, 0)),
-                pl.BlockSpec((d, block_n), lambda i, j, *prefetch: (0, j)),
-                pl.BlockSpec((1, block_n), lambda i, j, *prefetch: (0, j)),
+                pl.BlockSpec((block_q, d), lambda j, i, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, 1), lambda j, i, *prefetch: (i, 0)),
+                pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j)),
+                pl.BlockSpec((1, block_n), lambda j, i, *prefetch: (0, j)),
             ],
             out_specs=[
-                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
-                pl.BlockSpec((block_q, k), lambda i, j, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.int32),
+                pltpu.VMEM((qp, k), jnp.float32),
+                pltpu.VMEM((qp, k), jnp.int32),
             ],
         ),
         out_shape=[
@@ -483,10 +493,10 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
             jax.ShapeDtypeStruct((qp, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * np_ * d, bytes_accessed=np_ * d, transcendentals=0
+            flops=2 * qp * np_ * d, bytes_accessed=np_ * d + qp * d, transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(limit, jnp.int32), (1,)), q8, qscale, corpus_i8, scales)

@@ -57,6 +57,15 @@ EXPERIMENTS = {
     "bf16v4_bn2048_q64": ("bf16", 2048, 64),
     "bf16v4_bn2048_q1024": ("bf16", 2048, 1024),
     "int8v4_bn2048_q1024": ("int8", 2048, 1024),
+    # v5 = corpus-major grid: each corpus tile read from HBM once and scored
+    # against all query tiles (query-major re-read N per query tile).
+    "bf16v5_bn2048_q64": ("bf16", 2048, 64),
+    "bf16v5_bn2048_q1024": ("bf16", 2048, 1024),
+    "int8v5_bn2048_q1024": ("int8", 2048, 1024),
+    "int8v5_bn2048_q64": ("int8", 2048, 64),
+    "bf16v5_bn2048_q4096": ("bf16", 2048, 4096),
+    "int8v5_bn2048_q4096": ("int8", 2048, 4096),
+    "tenmv5_int8_q1024": ("int8", 2048, 1024),
 }
 
 
@@ -313,7 +322,7 @@ def main(name: str) -> None:
     dtype, block_n, q = EXPERIMENTS[name]
     if name.startswith("canary"):
         N = 65536
-    elif name.startswith("tenm_"):
+    elif name.startswith("tenm"):
         N = 10_000_000
     _stage(f"start {name} N={N} backend={jax.default_backend()}")
 

@@ -173,6 +173,39 @@ def cosine_topk_blocked(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def tile_corpus_t(corpus_t: jax.Array, block_n: int = 2048) -> jax.Array:
+    """Repack ``corpus_t [D, N]`` into the tile-major HBM layout
+    ``[n_tiles, D, block_n]`` consumed by the tiled fused kernels.
+
+    In the flat ``[D, N]`` layout a kernel block of ``block_n`` columns is
+    D separate strided reads of ``block_n * itemsize`` bytes each (row
+    stride = N * itemsize, ~2 MB at 1M chunks) — HBM efficiency collapses to
+    ~35% of peak. Tile-major makes every corpus-block DMA one fully
+    contiguous ``D * block_n * itemsize`` read (1.5 MB for bf16), which is
+    what the speed-of-light estimate in BENCH_NOTES.md assumes. One-time
+    device-side repack at index build/load; padded columns are zero (callers
+    pass ``n_valid`` exactly as for the flat layout)."""
+    d, n = corpus_t.shape
+    pad = -n % block_n
+    if pad:
+        corpus_t = jnp.pad(corpus_t, ((0, 0), (0, pad)))
+    n_tiles = corpus_t.shape[1] // block_n
+    return jnp.transpose(jnp.reshape(corpus_t, (d, n_tiles, block_n)), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def tile_scales(scales: jax.Array, block_n: int = 2048) -> jax.Array:
+    """Repack int8 per-column ``scales [1, N]`` to ``[n_tiles, 1, block_n]``
+    (tile-major, matching :func:`tile_corpus_t`)."""
+    _, n = scales.shape
+    pad = -n % block_n
+    if pad:
+        scales = jnp.pad(scales, ((0, 0), (0, pad)))
+    n_tiles = scales.shape[1] // block_n
+    return jnp.transpose(jnp.reshape(scales, (1, n_tiles, block_n)), (1, 0, 2))
+
+
 def _sorted_insert(acc_s, acc_i, s, ids, k: int):
     """Insert one (score, id) candidate per row into the sorted-descending
     running top-k, keeping it sorted. Stable: an incumbent with equal score
@@ -289,7 +322,10 @@ def _fused_kernel(
         acc_s[rows] = jnp.full((block_q, k), NEG_INF, acc_s.dtype)
         acc_i[rows] = jnp.full((block_q, k), _INT_MAX, acc_i.dtype)
 
-    lhs, rhs = q_ref[:], ct_ref[:]
+    lhs = q_ref[:]
+    # Tile-major corpus blocks arrive as [1, D, TN] (one contiguous HBM DMA);
+    # flat [D, N] blocks arrive as [D, TN] (D strided reads — slower).
+    rhs = ct_ref[0] if ct_ref.ndim == 3 else ct_ref[:]
     if lhs.dtype != rhs.dtype:
         # Mosaic rejects mixed-dtype matmuls at fp32 contract precision
         # ("Bad rhs type"): unify on the query dtype (exact tier: bf16
@@ -322,7 +358,12 @@ def _fused_kernel(
 )
 def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret):
     q, d = queries.shape
-    n = corpus_t.shape[1]
+    tiled = corpus_t.ndim == 3  # [n_tiles, D, block_n] tile-major layout
+    if tiled:
+        block_n = corpus_t.shape[2]
+        n = corpus_t.shape[0] * block_n
+    else:
+        n = corpus_t.shape[1]
     limit = _limit(n_valid, n)
     if precision == "fast" and corpus_t.dtype == jnp.bfloat16:
         # Match operand dtypes for a single-pass bf16 MXU matmul: f32 queries
@@ -335,15 +376,21 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     pad_n = -n % block_n
     if pad_q:
         queries = jnp.pad(queries, ((0, pad_q), (0, 0)))
-    if pad_n:
+    if pad_n and not tiled:
         corpus_t = jnp.pad(corpus_t, ((0, 0), (0, pad_n)))
-    qp, np_ = queries.shape[0], corpus_t.shape[1]
+    qp = queries.shape[0]
+    np_ = corpus_t.shape[0] * block_n if tiled else corpus_t.shape[1]
 
     # Corpus-major grid: j (N tiles) is the slow dimension, i (Q tiles) the
     # fast one, so each corpus tile is read once and reused for all queries.
     grid = (np_ // block_n, qp // block_q)
     kernel = functools.partial(
         _fused_kernel, k=k, block_q=block_q, block_n=block_n, precision=precision
+    )
+    corpus_spec = (
+        pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
+        if tiled
+        else pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j))
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -352,7 +399,7 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
             grid=grid,
             in_specs=[
                 pl.BlockSpec((block_q, d), lambda j, i, *prefetch: (i, 0)),
-                pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j)),
+                corpus_spec,
             ],
             out_specs=[
                 pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
@@ -392,6 +439,9 @@ def cosine_topk_fused(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused matmul + k-select Pallas kernel (see module docstring).
 
+    ``corpus_t`` may be the flat ``[D, N]`` layout or the tile-major
+    ``[n_tiles, D, block_n]`` layout from :func:`tile_corpus_t` (contiguous
+    block DMAs — the fast path; ``block_n`` is then taken from the layout).
     Falls back to interpret mode automatically off-TPU so the same call sites
     work on the CPU test mesh.
     """
@@ -429,8 +479,10 @@ def _fused_kernel_int8(
         acc_s[rows] = jnp.full((block_q, k), NEG_INF, acc_s.dtype)
         acc_i[rows] = jnp.full((block_q, k), _INT_MAX, acc_i.dtype)
 
-    int_scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.int32)
-    scores = int_scores.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    rhs = ct_ref[0] if ct_ref.ndim == 3 else ct_ref[:]
+    cscale = cs_ref[0] if cs_ref.ndim == 3 else cs_ref[:]
+    int_scores = jnp.dot(q_ref[:], rhs, preferred_element_type=jnp.int32)
+    scores = int_scores.astype(jnp.float32) * qs_ref[:] * cscale
     col0 = j * block_n
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
@@ -452,7 +504,12 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
     from .quantize import quantize_queries
 
     q, d = queries.shape
-    n = corpus_i8.shape[1]
+    tiled = corpus_i8.ndim == 3  # [n_tiles, D, block_n] tile-major layout
+    if tiled:
+        block_n = corpus_i8.shape[2]
+        n = corpus_i8.shape[0] * block_n
+    else:
+        n = corpus_i8.shape[1]
     limit = _limit(n_valid, n)
 
     q8, qscale = quantize_queries(queries)
@@ -461,13 +518,24 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
     if pad_q:
         q8 = jnp.pad(q8, ((0, pad_q), (0, 0)))
         qscale = jnp.pad(qscale, ((0, pad_q), (0, 0)))
-    if pad_n:
+    if pad_n and not tiled:
         corpus_i8 = jnp.pad(corpus_i8, ((0, 0), (0, pad_n)))
         scales = jnp.pad(scales, ((0, 0), (0, pad_n)))
-    qp, np_ = q8.shape[0], corpus_i8.shape[1]
+    qp = q8.shape[0]
+    np_ = corpus_i8.shape[0] * block_n if tiled else corpus_i8.shape[1]
 
     grid = (np_ // block_n, qp // block_q)
     kernel = functools.partial(_fused_kernel_int8, k=k, block_q=block_q, block_n=block_n)
+    corpus_spec = (
+        pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
+        if tiled
+        else pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j))
+    )
+    scale_spec = (
+        pl.BlockSpec((1, 1, block_n), lambda j, i, *prefetch: (j, 0, 0))
+        if tiled
+        else pl.BlockSpec((1, block_n), lambda j, i, *prefetch: (0, j))
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -476,8 +544,8 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
             in_specs=[
                 pl.BlockSpec((block_q, d), lambda j, i, *prefetch: (i, 0)),
                 pl.BlockSpec((block_q, 1), lambda j, i, *prefetch: (i, 0)),
-                pl.BlockSpec((d, block_n), lambda j, i, *prefetch: (0, j)),
-                pl.BlockSpec((1, block_n), lambda j, i, *prefetch: (0, j)),
+                corpus_spec,
+                scale_spec,
             ],
             out_specs=[
                 pl.BlockSpec((block_q, k), lambda j, i, *prefetch: (i, 0)),
@@ -515,9 +583,11 @@ def cosine_topk_fused_int8(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused top-k over an int8-quantized corpus (see ops/quantize.py).
 
-    ``corpus_i8`` is [D, N] int8 with per-column ``scales`` [1, N]; queries
-    are f32 and quantized on device. 4× less HBM traffic than f32 at ~1e-2
-    relative score error — ranking agreement verified in tests.
+    ``corpus_i8`` is [D, N] int8 with per-column ``scales`` [1, N] — or the
+    tile-major pair from :func:`tile_corpus_t` / :func:`tile_scales`
+    ([n_tiles, D, block_n] + [n_tiles, 1, block_n], contiguous block DMAs).
+    Queries are f32 and quantized on device. 4× less HBM traffic than f32 at
+    ~1e-2 relative score error — ranking agreement verified in tests.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -66,6 +66,18 @@ EXPERIMENTS = {
     "bf16v5_bn2048_q4096": ("bf16", 2048, 4096),
     "int8v5_bn2048_q4096": ("int8", 2048, 4096),
     "tenmv5_int8_q1024": ("int8", 2048, 1024),
+    # t = tile-major HBM layout [n_tiles, D, block_n] (tile_corpus_t):
+    # every corpus-block DMA is one contiguous read instead of D=384
+    # strided 4KB reads — tests whether the 291 GB/s effective bandwidth of
+    # the flat layout (ceiling_1m) was DMA-stride-bound.
+    "bf16t_bn2048_q64": ("bf16", 2048, 64),
+    "int8t_bn2048_q64": ("int8", 2048, 64),
+    "bf16t_bn2048_q1024": ("bf16", 2048, 1024),
+    "int8t_bn2048_q1024": ("int8", 2048, 1024),
+    "bf16t_bn4096_q64": ("bf16", 4096, 64),
+    "tenmt_int8_q1024": ("int8", 2048, 1024),
+    "tenmt_int8_q64": ("int8", 2048, 64),
+    "tenmt_bf16_q64": ("bf16", 2048, 64),
 }
 
 
@@ -254,6 +266,67 @@ def ceiling_1m() -> None:
     print(line)
 
 
+def ceiling_tiled_1m() -> None:
+    """ceiling_1m with the tile-major corpus layout: one contiguous DMA per
+    corpus block instead of 384 strided reads. The delta vs ceiling_1m is
+    pure HBM-access-pattern cost."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, bn = 1_000_000, 2048
+
+    def kern(q_ref, ct_ref, out_ref, acc):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc[:] = jnp.zeros_like(acc)
+
+        s = jnp.dot(q_ref[:], ct_ref[0], preferred_element_type=jnp.float32)
+        acc[:] = acc[:] + jnp.max(s, axis=-1, keepdims=True)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _flush():
+            out_ref[:] = acc[:]
+
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, n), jnp.bfloat16)
+    tiles = T.tile_corpus_t(ct, block_n=bn)
+    qs16 = jax.random.normal(jax.random.PRNGKey(1), (16, 128, D), jnp.bfloat16)
+    np.asarray(tiles[0, 0, 0])
+
+    def one(qq, c):
+        return pl.pallas_call(
+            kern,
+            grid=(1, n // bn),
+            in_specs=[
+                pl.BlockSpec((128, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((1, D, bn), lambda i, j: (j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((128, 1), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((128, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((128, 1), jnp.float32)],
+        )(qq, c)
+
+    @jax.jit
+    def run(qs16, c):
+        def step(carry, qq):
+            return carry + one(qq, c)[0, 0], None
+        acc, _ = jax.lax.scan(step, 0.0, qs16)
+        return acc
+
+    _stage("ceiling_tiled: compiling")
+    np.asarray(run(qs16, tiles))
+    t0 = time.perf_counter()
+    np.asarray(run(qs16, tiles))
+    dt = (time.perf_counter() - t0) / 16
+    line = f"ceiling_tiled_1m matmul+rowmax only: {dt*1e3:.2f} ms/batch (Q=64 eq)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def adversarial_1m() -> None:
     """Worst case for the streaming merge: corpus columns sorted ascending
     by score against the query direction, so every tile improves the running
@@ -307,6 +380,9 @@ def main(name: str) -> None:
     if name == "ceiling_1m":
         _stage(f"start ceiling_1m backend={jax.default_backend()}")
         return ceiling_1m()
+    if name == "ceiling_tiled_1m":
+        _stage(f"start ceiling_tiled_1m backend={jax.default_backend()}")
+        return ceiling_tiled_1m()
     if name == "graph_match_10m":
         _stage(f"start graph_match_10m backend={jax.default_backend()}")
         return graph_match_10m()
@@ -324,6 +400,7 @@ def main(name: str) -> None:
         N = 65536
     elif name.startswith("tenm"):
         N = 10_000_000
+    tiled = name.startswith(("bf16t", "int8t", "tenmt"))
     _stage(f"start {name} N={N} backend={jax.default_backend()}")
 
     @jax.jit
@@ -339,14 +416,19 @@ def main(name: str) -> None:
     # the closure version never finishes).
     if dtype == "int8":
         c8, sc = quantize_corpus_t(ct)
+        if tiled:
+            c8 = T.tile_corpus_t(c8, block_n=block_n)
+            sc = T.tile_scales(sc, block_n=block_n)
         operands = (c8, sc)
         inner = lambda qq, c, s: T.cosine_topk_fused_int8(qq, c, s, K, block_n=block_n)
-        np.asarray(c8[0, 0])
+        np.asarray(c8[(0, 0, 0)] if tiled else c8[0, 0])
         del ct  # free the 7.7GB bf16 source at 10M before the timed runs
     else:
+        if tiled:
+            ct = T.tile_corpus_t(ct, block_n=block_n)
         operands = (ct,)
         inner = lambda qq, c: T.cosine_topk_fused(qq, c, K, precision="fast", block_n=block_n)
-        np.asarray(ct[0, 0])
+        np.asarray(ct[(0, 0, 0)] if tiled else ct[0, 0])
     _stage("corpus generated + settled")
 
     R = 16

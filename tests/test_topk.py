@@ -62,6 +62,46 @@ class TestAgainstOracle:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
 
+    def test_fused_tiled_layout(self, data, k):
+        """Tile-major [n_tiles, D, block_n] corpus (contiguous HBM DMAs)
+        must agree with the oracle exactly, including the n_valid mask over
+        the layout's zero-padded tail columns (1000 → 4×256)."""
+        from ragfin_tpu.ops.topk import tile_corpus_t
+
+        q, c = data
+        tiles = tile_corpus_t(jnp.asarray(c), block_n=256)
+        assert tiles.shape == (4, 64, 256)
+        s, i = cosine_topk_fused(
+            jnp.asarray(q), tiles, k, n_valid=c.shape[1], block_q=8
+        )
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_fused_tiled_int8_matches_flat_int8(self, data, k):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+        from ragfin_tpu.ops.topk import (
+            cosine_topk_fused_int8,
+            tile_corpus_t,
+            tile_scales,
+        )
+
+        q, c = data
+        c8, sc = quantize_corpus_t(jnp.asarray(c))
+        s_flat, i_flat = cosine_topk_fused_int8(
+            jnp.asarray(q), c8, sc, k, block_q=8, block_n=256
+        )
+        s_t, i_t = cosine_topk_fused_int8(
+            jnp.asarray(q),
+            tile_corpus_t(c8, block_n=256),
+            tile_scales(sc, block_n=256),
+            k,
+            n_valid=c.shape[1],
+            block_q=8,
+        )
+        np.testing.assert_array_equal(np.asarray(i_flat), np.asarray(i_t))
+        np.testing.assert_allclose(np.asarray(s_flat), np.asarray(s_t), rtol=1e-6)
+
 
 class TestPadding:
     def test_n_valid_masks_padded_rows(self, data):

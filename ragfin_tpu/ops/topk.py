@@ -41,6 +41,13 @@ _INT_MAX = 0x7FFFFFFF
 # through the while loop. Env-selectable for A/B probes on hardware.
 _MERGE_INVARIANT = os.environ.get("RAGFIN_MERGE_VARIANT", "invariant") != "carry"
 
+# Merge slice width (see _merge_tile_sliced): the [TQ, TN] score tile is
+# merged in column slices of this width so each while-loop iteration touches
+# TN/slice VPU lanes instead of the whole tile, and slices that cannot
+# improve the running top-k cost one row-max + compare. 0 disables slicing
+# (whole-tile merge). Env-overridable for hardware A/B probes.
+_MERGE_SLICE = int(os.environ.get("RAGFIN_MERGE_SLICE", "256"))
+
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,  # f32-accurate (multi-pass on MXU)
     "fast": jax.lax.Precision.DEFAULT,  # single-pass bf16 inputs
@@ -290,6 +297,46 @@ def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] 
     return new_s, new_i
 
 
+def _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int):
+    """Merge a [TQ, TN] score tile into the running top-k in column slices.
+
+    The streaming merge's VPU cost is per-iteration full-tile passes
+    (successor search over TN lanes). Slicing bounds each pass at
+    ``slice_n`` lanes, and a slice none of whose row maxima beat the current
+    kth score is skipped after one compare — so the steady-state tile cost
+    approaches matmul + one row-max pass. Slices are processed left to
+    right, so candidate global ids still grow monotonically and the strict
+    ``>`` improvement gate keeps exact tie-break semantics (lower id wins).
+
+    Operates on the accumulator refs in place (``rows`` selects this query
+    tile's slab); ``pl.when`` with a traced predicate lowers to a branch.
+    """
+    n = scores.shape[-1]
+    kth = acc_s[rows][:, k - 1]
+    for s0 in range(0, n, slice_n):
+        sl = jax.lax.slice_in_dim(scores, s0, s0 + slice_n, axis=1)
+        m = jnp.max(sl, axis=-1)
+
+        @pl.when(jnp.any(m > kth))
+        def _do(sl=sl, s0=s0):
+            new_s, new_i = _stream_merge(sl, col0 + s0, acc_s[rows], acc_i[rows], k)
+            acc_s[rows] = new_s
+            acc_i[rows] = new_i
+
+        # Re-read the (possibly updated) kth score for the next slice guard.
+        kth = acc_s[rows][:, k - 1]
+
+
+def _merge_tile(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int):
+    """Dispatch: sliced merge when enabled and narrower than the tile."""
+    if slice_n and slice_n < scores.shape[-1]:
+        _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
+    else:
+        new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
+        acc_s[rows] = new_s
+        acc_i[rows] = new_i
+
+
 def _fused_kernel(
     n_valid_ref,
     q_ref,
@@ -303,6 +350,7 @@ def _fused_kernel(
     block_q: int,
     block_n: int,
     precision: str,
+    slice_n: int,
 ):
     """Grid = (N tiles, Q tiles); **corpus-major**: each corpus column-tile
     is DMA'd from HBM exactly ONCE and scored against every query tile while
@@ -342,9 +390,7 @@ def _fused_kernel(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
-    acc_s[rows] = new_s
-    acc_i[rows] = new_i
+    _merge_tile(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -354,9 +400,9 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_n", "precision", "interpret"),
+    static_argnames=("k", "block_q", "block_n", "precision", "interpret", "slice_n"),
 )
-def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret):
+def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret, slice_n):
     q, d = queries.shape
     tiled = corpus_t.ndim == 3  # [n_tiles, D, block_n] tile-major layout
     if tiled:
@@ -385,7 +431,12 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     # fast one, so each corpus tile is read once and reused for all queries.
     grid = (np_ // block_n, qp // block_q)
     kernel = functools.partial(
-        _fused_kernel, k=k, block_q=block_q, block_n=block_n, precision=precision
+        _fused_kernel,
+        k=k,
+        block_q=block_q,
+        block_n=block_n,
+        precision=precision,
+        slice_n=slice_n,
     )
     corpus_spec = (
         pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
@@ -436,19 +487,24 @@ def cosine_topk_fused(
     block_n: int = 2048,
     precision: str = "exact",
     interpret: Optional[bool] = None,
+    slice_n: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused matmul + k-select Pallas kernel (see module docstring).
 
     ``corpus_t`` may be the flat ``[D, N]`` layout or the tile-major
     ``[n_tiles, D, block_n]`` layout from :func:`tile_corpus_t` (contiguous
     block DMAs — the fast path; ``block_n`` is then taken from the layout).
+    ``slice_n`` bounds the merge's per-iteration VPU pass width (see
+    :func:`_merge_tile_sliced`); default from ``RAGFIN_MERGE_SLICE``.
     Falls back to interpret mode automatically off-TPU so the same call sites
     work on the CPU test mesh.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if slice_n is None:
+        slice_n = _MERGE_SLICE
     return _fused_call(
-        queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret
+        queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret, slice_n
     )
 
 
@@ -466,6 +522,7 @@ def _fused_kernel_int8(
     k: int,
     block_q: int,
     block_n: int,
+    slice_n: int,
 ):
     """Int8 variant of the fused kernel: int8×int8 MXU matmul with int32
     accumulation, dequantized on-chip by per-row/per-column scales.
@@ -487,9 +544,7 @@ def _fused_kernel_int8(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
-    acc_s[rows] = new_s
-    acc_i[rows] = new_i
+    _merge_tile(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -498,9 +553,9 @@ def _fused_kernel_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret", "slice_n")
 )
-def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret):
+def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret, slice_n):
     from .quantize import quantize_queries
 
     q, d = queries.shape
@@ -525,7 +580,9 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
     np_ = corpus_i8.shape[0] * block_n if tiled else corpus_i8.shape[1]
 
     grid = (np_ // block_n, qp // block_q)
-    kernel = functools.partial(_fused_kernel_int8, k=k, block_q=block_q, block_n=block_n)
+    kernel = functools.partial(
+        _fused_kernel_int8, k=k, block_q=block_q, block_n=block_n, slice_n=slice_n
+    )
     corpus_spec = (
         pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
         if tiled
@@ -580,6 +637,7 @@ def cosine_topk_fused_int8(
     block_q: int = 128,
     block_n: int = 2048,
     interpret: Optional[bool] = None,
+    slice_n: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused top-k over an int8-quantized corpus (see ops/quantize.py).
 
@@ -591,7 +649,11 @@ def cosine_topk_fused_int8(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret)
+    if slice_n is None:
+        slice_n = _MERGE_SLICE
+    return _fused_call_int8(
+        queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret, slice_n
+    )
 
 
 def cosine_topk(

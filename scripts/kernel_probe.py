@@ -69,15 +69,34 @@ EXPERIMENTS = {
     # t = tile-major HBM layout [n_tiles, D, block_n] (tile_corpus_t):
     # every corpus-block DMA is one contiguous read instead of D=384
     # strided 4KB reads — tests whether the 291 GB/s effective bandwidth of
-    # the flat layout (ceiling_1m) was DMA-stride-bound.
-    "bf16t_bn2048_q64": ("bf16", 2048, 64),
-    "int8t_bn2048_q64": ("int8", 2048, 64),
-    "bf16t_bn2048_q1024": ("bf16", 2048, 1024),
-    "int8t_bn2048_q1024": ("int8", 2048, 1024),
-    "bf16t_bn4096_q64": ("bf16", 4096, 64),
-    "tenmt_int8_q1024": ("int8", 2048, 1024),
-    "tenmt_int8_q64": ("int8", 2048, 64),
-    "tenmt_bf16_q64": ("bf16", 2048, 64),
+    # the flat layout (ceiling_1m) was DMA-stride-bound. 4-tuples add an
+    # explicit merge slice width (s = sliced merge, _merge_tile_sliced);
+    # slice 0 = whole-tile merge (the v1-v5 behavior).
+    "bf16t_bn2048_q64": ("bf16", 2048, 64, 0),
+    "int8t_bn2048_q64": ("int8", 2048, 64, 0),
+    "bf16t_bn2048_q1024": ("bf16", 2048, 1024, 0),
+    "int8t_bn2048_q1024": ("int8", 2048, 1024, 0),
+    "bf16t_bn4096_q64": ("bf16", 4096, 64, 0),
+    "tenmt_int8_q1024": ("int8", 2048, 1024, 0),
+    "tenmt_int8_q64": ("int8", 2048, 64, 0),
+    "tenmt_bf16_q64": ("bf16", 2048, 64, 0),
+    # sliced merge A/B on the flat layout
+    "bf16s256_bn2048_q64": ("bf16", 2048, 64, 256),
+    "bf16s128_bn2048_q64": ("bf16", 2048, 64, 128),
+    "bf16s512_bn2048_q64": ("bf16", 2048, 64, 512),
+    "int8s256_bn2048_q64": ("int8", 2048, 64, 256),
+    "bf16s256_bn2048_q1024": ("bf16", 2048, 1024, 256),
+    "int8s256_bn2048_q1024": ("int8", 2048, 1024, 256),
+    # tiled layout + sliced merge: the production candidate
+    "bf16ts256_bn2048_q64": ("bf16", 2048, 64, 256),
+    "int8ts256_bn2048_q64": ("int8", 2048, 64, 256),
+    "bf16ts256_bn2048_q1024": ("bf16", 2048, 1024, 256),
+    "int8ts256_bn2048_q1024": ("int8", 2048, 1024, 256),
+    "bf16ts256_bn2048_q4096": ("bf16", 2048, 4096, 256),
+    "int8ts256_bn2048_q4096": ("int8", 2048, 4096, 256),
+    "tenmts256_int8_q1024": ("int8", 2048, 1024, 256),
+    "tenmts256_int8_q64": ("int8", 2048, 64, 256),
+    "tenmts256_bf16_q64": ("bf16", 2048, 64, 256),
 }
 
 
@@ -395,13 +414,15 @@ def main(name: str) -> None:
     if name == "noscan_1m":
         _stage(f"start noscan_1m backend={jax.default_backend()}")
         return noscan_1m()
-    dtype, block_n, q = EXPERIMENTS[name]
+    spec = EXPERIMENTS[name]
+    dtype, block_n, q = spec[:3]
+    slice_n = spec[3] if len(spec) > 3 else 0
     if name.startswith("canary"):
         N = 65536
     elif name.startswith("tenm"):
         N = 10_000_000
     tiled = name.startswith(("bf16t", "int8t", "tenmt"))
-    _stage(f"start {name} N={N} backend={jax.default_backend()}")
+    _stage(f"start {name} N={N} slice={slice_n} backend={jax.default_backend()}")
 
     @jax.jit
     def gen(key):
@@ -420,14 +441,18 @@ def main(name: str) -> None:
             c8 = T.tile_corpus_t(c8, block_n=block_n)
             sc = T.tile_scales(sc, block_n=block_n)
         operands = (c8, sc)
-        inner = lambda qq, c, s: T.cosine_topk_fused_int8(qq, c, s, K, block_n=block_n)
+        inner = lambda qq, c, s: T.cosine_topk_fused_int8(
+            qq, c, s, K, block_n=block_n, slice_n=slice_n
+        )
         np.asarray(c8[(0, 0, 0)] if tiled else c8[0, 0])
         del ct  # free the 7.7GB bf16 source at 10M before the timed runs
     else:
         if tiled:
             ct = T.tile_corpus_t(ct, block_n=block_n)
         operands = (ct,)
-        inner = lambda qq, c: T.cosine_topk_fused(qq, c, K, precision="fast", block_n=block_n)
+        inner = lambda qq, c: T.cosine_topk_fused(
+            qq, c, K, precision="fast", block_n=block_n, slice_n=slice_n
+        )
         np.asarray(ct[(0, 0, 0)] if tiled else ct[0, 0])
     _stage("corpus generated + settled")
 

@@ -62,6 +62,18 @@ class TestAgainstOracle:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
 
+    @pytest.mark.parametrize("slice_n", [64, 128])
+    def test_fused_sliced_merge(self, data, k, slice_n):
+        """Sliced merge (per-slice guard + narrow while-loop passes) must
+        agree with the oracle exactly, like the whole-tile merge."""
+        q, c = data
+        s, i = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, slice_n=slice_n
+        )
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
     def test_fused_tiled_layout(self, data, k):
         """Tile-major [n_tiles, D, block_n] corpus (contiguous HBM DMAs)
         must agree with the oracle exactly, including the n_valid mask over
@@ -132,6 +144,11 @@ class TestPadding:
         es, ei = _numpy_oracle(q, c, k)
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
+        # Sliced merge must survive the every-slice-improves worst case too.
+        ss, ii = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, slice_n=32
+        )
+        assert np.array_equal(np.asarray(ii), ei)
 
     def test_tie_heavy_scores(self):
         """Quantized values produce massive exact-score ties; stable
@@ -149,6 +166,12 @@ class TestPadding:
         assert np.array_equal(np.asarray(i), ei)
         sb, ib = cosine_topk_blocked(jnp.asarray(q), jnp.asarray(c), k, block=96)
         assert np.array_equal(np.asarray(ib), ei)
+        # Exact ties spanning slice boundaries: the strict > slice guard must
+        # not admit an equal-score higher-id candidate from a later slice.
+        ss, ii = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, slice_n=32
+        )
+        assert np.array_equal(np.asarray(ii), ei)
 
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)

@@ -36,17 +36,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 _INT_MAX = 0x7FFFFFFF
 
-# Merge-loop variant for the fused kernels (see _stream_merge): "invariant"
-# (default) closes over the score tile; "carry" threads a masked copy
-# through the while loop. Env-selectable for A/B probes on hardware.
-_MERGE_INVARIANT = os.environ.get("RAGFIN_MERGE_VARIANT", "invariant") != "carry"
+# Merge-loop variant for the fused kernels: "invariant" (default) closes
+# over the score tile (_stream_merge); "carry" threads a masked copy through
+# the while loop; "mask" extracts candidates in id order from a hit bitmask
+# (_stream_merge_mask) with an invariant-merge seed on tile 0.
+# Env-selectable for A/B probes on hardware.
+_MERGE_VARIANT = os.environ.get("RAGFIN_MERGE_VARIANT", "invariant")
+_MERGE_INVARIANT = _MERGE_VARIANT != "carry"
 
 # Merge slice width (see _merge_tile_sliced): the [TQ, TN] score tile is
 # merged in column slices of this width so each while-loop iteration touches
 # TN/slice VPU lanes instead of the whole tile, and slices that cannot
 # improve the running top-k cost one row-max + compare. 0 disables slicing
-# (whole-tile merge). Env-overridable for hardware A/B probes.
-_MERGE_SLICE = int(os.environ.get("RAGFIN_MERGE_SLICE", "256"))
+# (whole-tile merge). MEASURED ON TPU: slicing regresses (8.42 vs 5.62
+# ms/batch at Q=64/1M — the per-slice branch + guard overhead exceeds the
+# narrower passes), so the default is off; kept for probes.
+_MERGE_SLICE = int(os.environ.get("RAGFIN_MERGE_SLICE", "0"))
 
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,  # f32-accurate (multi-pass on MXU)
@@ -230,6 +235,46 @@ def _sorted_insert(acc_s, acc_i, s, ids, k: int):
     return new_s, new_i
 
 
+def _stream_merge_mask(scores, col0, acc_s, acc_i, k: int):
+    """Bitmask first-k extraction merge: candidates = positions whose score
+    strictly beats the PRE-TILE kth running score, extracted in ascending
+    id order via linear-index min-reductions (the _first_k_kernel trick
+    applied to the fused kernel).
+
+    Cost shape vs :func:`_stream_merge`: the unconditional per-tile work is
+    ONE compare+where pass to build ``hit_lin`` plus one min-reduction
+    (replacing row-max + row-argmax), and each extraction iteration is ~3
+    tile passes (position-select, score-select, successor-min) instead of
+    the invariant variant's ~6 (two compares, and/where, argmax, max).
+
+    Exactness: the strict ``>`` vs the pre-tile kth is exact for the same
+    reason as the tile-order argument — every candidate id in this tile
+    exceeds every incumbent id, so an equal-score candidate always loses the
+    tie-break. Extracting in ascending id order keeps `_sorted_insert`'s
+    stable semantics (an equal-score lower-id incumbent stays ahead).
+    Candidates admitted against the pre-tile kth that fall below the
+    POST-insertion kth are dropped by `_sorted_insert` (position == k)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    hit_lin = jnp.where(scores > acc_s[:, k - 1][:, None], iota, _INT_MAX)
+
+    def cond(state):
+        _, _, nxt = state
+        return jnp.any(nxt < _INT_MAX)
+
+    def body(state):
+        a_s, a_i, nxt = state
+        sel = iota == nxt[:, None]
+        s = jnp.max(jnp.where(sel, scores, NEG_INF), axis=-1)
+        ids = jnp.where(nxt < _INT_MAX, nxt + col0, _INT_MAX)
+        a_s, a_i = _sorted_insert(a_s, a_i, s, ids, k)
+        nxt2 = jnp.min(jnp.where(hit_lin > nxt[:, None], hit_lin, _INT_MAX), axis=-1)
+        return a_s, a_i, nxt2
+
+    nxt0 = jnp.min(hit_lin, axis=-1)
+    new_s, new_i, _ = jax.lax.while_loop(cond, body, (acc_s, acc_i, nxt0))
+    return new_s, new_i
+
+
 def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] = None):
     """Merge a [R, TN] score tile into the sorted running top-k.
 
@@ -327,12 +372,31 @@ def _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int
         kth = acc_s[rows][:, k - 1]
 
 
-def _merge_tile(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int):
-    """Dispatch: sliced merge when enabled and narrower than the tile."""
-    if slice_n and slice_n < scores.shape[-1]:
+def _merge_tile(scores, col0, acc_s, acc_i, rows, j, *, k: int, slice_n: int, variant: str):
+    """Dispatch between merge strategies (RAGFIN_MERGE_VARIANT / slice_n).
+
+    ``mask`` uses the bitmask first-k extraction for warm tiles but seeds
+    tile j==0 with the score-ordered streaming merge — a cold accumulator
+    (kth == -inf) would make EVERY position a candidate and degenerate the
+    id-ordered extraction into block_n iterations."""
+    if variant == "mask":
+        @pl.when(j == 0)
+        def _seed():
+            new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
+            acc_s[rows] = new_s
+            acc_i[rows] = new_i
+
+        @pl.when(j != 0)
+        def _warm():
+            new_s, new_i = _stream_merge_mask(scores, col0, acc_s[rows], acc_i[rows], k)
+            acc_s[rows] = new_s
+            acc_i[rows] = new_i
+    elif slice_n and slice_n < scores.shape[-1]:
         _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
     else:
-        new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
+        new_s, new_i = _stream_merge(
+            scores, col0, acc_s[rows], acc_i[rows], k, invariant=(variant != "carry")
+        )
         acc_s[rows] = new_s
         acc_i[rows] = new_i
 
@@ -351,6 +415,7 @@ def _fused_kernel(
     block_n: int,
     precision: str,
     slice_n: int,
+    variant: str,
 ):
     """Grid = (N tiles, Q tiles); **corpus-major**: each corpus column-tile
     is DMA'd from HBM exactly ONCE and scored against every query tile while
@@ -390,7 +455,7 @@ def _fused_kernel(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
+    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -400,9 +465,9 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_n", "precision", "interpret", "slice_n"),
+    static_argnames=("k", "block_q", "block_n", "precision", "interpret", "slice_n", "variant"),
 )
-def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret, slice_n):
+def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret, slice_n, variant):
     q, d = queries.shape
     tiled = corpus_t.ndim == 3  # [n_tiles, D, block_n] tile-major layout
     if tiled:
@@ -437,6 +502,7 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
         block_n=block_n,
         precision=precision,
         slice_n=slice_n,
+        variant=variant,
     )
     corpus_spec = (
         pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
@@ -488,6 +554,7 @@ def cosine_topk_fused(
     precision: str = "exact",
     interpret: Optional[bool] = None,
     slice_n: Optional[int] = None,
+    variant: Optional[str] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused matmul + k-select Pallas kernel (see module docstring).
 
@@ -503,8 +570,11 @@ def cosine_topk_fused(
         interpret = jax.default_backend() != "tpu"
     if slice_n is None:
         slice_n = _MERGE_SLICE
+    if variant is None:
+        variant = _MERGE_VARIANT
     return _fused_call(
-        queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret, slice_n
+        queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret,
+        slice_n, variant,
     )
 
 
@@ -523,6 +593,7 @@ def _fused_kernel_int8(
     block_q: int,
     block_n: int,
     slice_n: int,
+    variant: str,
 ):
     """Int8 variant of the fused kernel: int8×int8 MXU matmul with int32
     accumulation, dequantized on-chip by per-row/per-column scales.
@@ -544,7 +615,7 @@ def _fused_kernel_int8(
     local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
+    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -553,9 +624,9 @@ def _fused_kernel_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret", "slice_n")
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret", "slice_n", "variant")
 )
-def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret, slice_n):
+def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret, slice_n, variant):
     from .quantize import quantize_queries
 
     q, d = queries.shape
@@ -581,7 +652,7 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
 
     grid = (np_ // block_n, qp // block_q)
     kernel = functools.partial(
-        _fused_kernel_int8, k=k, block_q=block_q, block_n=block_n, slice_n=slice_n
+        _fused_kernel_int8, k=k, block_q=block_q, block_n=block_n, slice_n=slice_n, variant=variant
     )
     corpus_spec = (
         pl.BlockSpec((1, d, block_n), lambda j, i, *prefetch: (j, 0, 0))
@@ -638,6 +709,7 @@ def cosine_topk_fused_int8(
     block_n: int = 2048,
     interpret: Optional[bool] = None,
     slice_n: Optional[int] = None,
+    variant: Optional[str] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused top-k over an int8-quantized corpus (see ops/quantize.py).
 
@@ -651,8 +723,11 @@ def cosine_topk_fused_int8(
         interpret = jax.default_backend() != "tpu"
     if slice_n is None:
         slice_n = _MERGE_SLICE
+    if variant is None:
+        variant = _MERGE_VARIANT
     return _fused_call_int8(
-        queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret, slice_n
+        queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret,
+        slice_n, variant,
     )
 
 

@@ -97,6 +97,19 @@ EXPERIMENTS = {
     "tenmts256_int8_q1024": ("int8", 2048, 1024, 256),
     "tenmts256_int8_q64": ("int8", 2048, 64, 256),
     "tenmts256_bf16_q64": ("bf16", 2048, 64, 256),
+    # m = mask-extraction merge variant (_stream_merge_mask; 5th field):
+    # hit-bitmask + id-ordered extraction, ~half the VPU passes per
+    # candidate and no unconditional row argmax.
+    "bf16m_bn2048_q64": ("bf16", 2048, 64, 0, "mask"),
+    "int8m_bn2048_q64": ("int8", 2048, 64, 0, "mask"),
+    "bf16m_bn2048_q1024": ("bf16", 2048, 1024, 0, "mask"),
+    "int8m_bn2048_q1024": ("int8", 2048, 1024, 0, "mask"),
+    "bf16m_bn4096_q64": ("bf16", 4096, 64, 0, "mask"),
+    "tenmm_int8_q1024": ("int8", 2048, 1024, 0, "mask"),
+    "tenmm_int8_q64": ("int8", 2048, 64, 0, "mask"),
+    "tenmm_bf16_q64": ("bf16", 2048, 64, 0, "mask"),
+    "bf16m_bn2048_q4096": ("bf16", 2048, 4096, 0, "mask"),
+    "int8m_bn2048_q4096": ("int8", 2048, 4096, 0, "mask"),
 }
 
 
@@ -285,6 +298,70 @@ def ceiling_1m() -> None:
     print(line)
 
 
+def ceiling_parts_1m(which: str) -> None:
+    """Decompose ceiling_1m: ``dma`` = block DMA only (body touches one
+    element), ``matmul`` = DMA + matmul (no row-max), ``rowmax`` = the
+    original DMA + matmul + row-max. Attributes the 2.64 ms ceiling."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, bn = 1_000_000, 2048
+
+    def kern(q_ref, ct_ref, out_ref, acc):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc[:] = jnp.zeros_like(acc)
+
+        if which == "dma":
+            acc[0, 0] = acc[0, 0] + ct_ref[0, 0].astype(jnp.float32)
+        else:
+            s = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
+            if which == "matmul":
+                acc[:] = acc[:] + s[:, :1]
+            else:
+                acc[:] = acc[:] + jnp.max(s, axis=-1, keepdims=True)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _flush():
+            out_ref[:] = acc[:]
+
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, n), jnp.bfloat16)
+    qs16 = jax.random.normal(jax.random.PRNGKey(1), (16, 128, D), jnp.bfloat16)
+    np.asarray(ct[0, 0])
+
+    def one(qq, c):
+        return pl.pallas_call(
+            kern,
+            grid=(1, n // bn),
+            in_specs=[
+                pl.BlockSpec((128, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((D, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((128, 1), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((128, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((128, 1), jnp.float32)],
+        )(qq, c)
+
+    @jax.jit
+    def run(qs16, c):
+        def step(carry, qq):
+            return carry + one(qq, c)[0, 0], None
+        acc, _ = jax.lax.scan(step, 0.0, qs16)
+        return acc
+
+    _stage(f"ceiling_{which}: compiling")
+    np.asarray(run(qs16, ct))
+    t0 = time.perf_counter()
+    np.asarray(run(qs16, ct))
+    dt = (time.perf_counter() - t0) / 16
+    line = f"ceiling_{which}_1m: {dt*1e3:.2f} ms/batch (Q=64 eq, 768MB read)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def ceiling_tiled_1m() -> None:
     """ceiling_1m with the tile-major corpus layout: one contiguous DMA per
     corpus block instead of 384 strided reads. The delta vs ceiling_1m is
@@ -402,6 +479,10 @@ def main(name: str) -> None:
     if name == "ceiling_tiled_1m":
         _stage(f"start ceiling_tiled_1m backend={jax.default_backend()}")
         return ceiling_tiled_1m()
+    if name.startswith("ceiling_") and name.endswith("_1m"):
+        which = name[len("ceiling_"):-len("_1m")]
+        _stage(f"start {name} backend={jax.default_backend()}")
+        return ceiling_parts_1m(which)
     if name == "graph_match_10m":
         _stage(f"start graph_match_10m backend={jax.default_backend()}")
         return graph_match_10m()
@@ -417,12 +498,16 @@ def main(name: str) -> None:
     spec = EXPERIMENTS[name]
     dtype, block_n, q = spec[:3]
     slice_n = spec[3] if len(spec) > 3 else 0
+    variant = spec[4] if len(spec) > 4 else "invariant"
     if name.startswith("canary"):
         N = 65536
     elif name.startswith("tenm"):
         N = 10_000_000
     tiled = name.startswith(("bf16t", "int8t", "tenmt"))
-    _stage(f"start {name} N={N} slice={slice_n} backend={jax.default_backend()}")
+    _stage(
+        f"start {name} N={N} slice={slice_n} variant={variant} "
+        f"backend={jax.default_backend()}"
+    )
 
     @jax.jit
     def gen(key):
@@ -442,7 +527,7 @@ def main(name: str) -> None:
             sc = T.tile_scales(sc, block_n=block_n)
         operands = (c8, sc)
         inner = lambda qq, c, s: T.cosine_topk_fused_int8(
-            qq, c, s, K, block_n=block_n, slice_n=slice_n
+            qq, c, s, K, block_n=block_n, slice_n=slice_n, variant=variant
         )
         np.asarray(c8[(0, 0, 0)] if tiled else c8[0, 0])
         del ct  # free the 7.7GB bf16 source at 10M before the timed runs
@@ -451,7 +536,7 @@ def main(name: str) -> None:
             ct = T.tile_corpus_t(ct, block_n=block_n)
         operands = (ct,)
         inner = lambda qq, c: T.cosine_topk_fused(
-            qq, c, K, precision="fast", block_n=block_n, slice_n=slice_n
+            qq, c, K, precision="fast", block_n=block_n, slice_n=slice_n, variant=variant
         )
         np.asarray(ct[(0, 0, 0)] if tiled else ct[0, 0])
     _stage("corpus generated + settled")

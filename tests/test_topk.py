@@ -62,6 +62,18 @@ class TestAgainstOracle:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
 
+    @pytest.mark.parametrize("variant", ["carry", "mask"])
+    def test_fused_merge_variants(self, data, k, variant):
+        """All merge variants (carry / mask-extraction) must agree with the
+        oracle exactly; "mask" additionally exercises the tile-0 seed path."""
+        q, c = data
+        s, i = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant=variant
+        )
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
     @pytest.mark.parametrize("slice_n", [64, 128])
     def test_fused_sliced_merge(self, data, k, slice_n):
         """Sliced merge (per-slice guard + narrow while-loop passes) must
@@ -149,6 +161,11 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, slice_n=32
         )
         assert np.array_equal(np.asarray(ii), ei)
+        # Mask-extraction merge: every warm tile has a full candidate set.
+        sm, im = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="mask"
+        )
+        assert np.array_equal(np.asarray(im), ei)
 
     def test_tie_heavy_scores(self):
         """Quantized values produce massive exact-score ties; stable
@@ -172,6 +189,12 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, slice_n=32
         )
         assert np.array_equal(np.asarray(ii), ei)
+        # Mask merge under massive exact ties: the strict > hit test and the
+        # ascending-id extraction order must reproduce the stable order.
+        sm, im = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="mask"
+        )
+        assert np.array_equal(np.asarray(im), ei)
 
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)

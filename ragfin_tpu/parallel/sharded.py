@@ -56,7 +56,7 @@ def sharded_cosine_topk(
     corpus_t_sharded: jax.Array,
     k: int,
     n_valid: int,
-    method: str = "dense",
+    method: str = "auto",
     precision: str = "exact",
     scales: "jax.Array | None" = None,
 ):
@@ -68,6 +68,16 @@ def sharded_cosine_topk(
     n_total = corpus_t_sharded.shape[1]
     n_dev = mesh.shape[axis]
     shard_cols = n_total // n_dev
+    if method == "auto":
+        # Mirror ops.topk.cosine_topk's dispatch, per LOCAL shard size: the
+        # fused Pallas kernel wins on TPU for large partitions (launch
+        # overhead dominates small ones); quantized shards use the int8
+        # kernel. Off-TPU (the CPU test mesh) dense avoids interpret mode.
+        on_tpu = jax.default_backend() == "tpu"
+        if not (on_tpu and shard_cols >= 65536):
+            method = "dense" if scales is None else "int8"
+        else:
+            method = "fused" if scales is None else "int8"
     if method == "int8" and scales is None:
         raise ValueError("method='int8' requires scales")
     program = _sharded_program(
@@ -214,14 +224,14 @@ class ShardedVectorIndex:
         out.featurizer = getattr(index, "featurizer", None)
         return out
 
-    def search_embeddings(self, query_embeddings, top_k: int = 3, method: str = "dense"):
+    def search_embeddings(self, query_embeddings, top_k: int = 3, method: str = "auto"):
         q = jnp.asarray(query_embeddings, jnp.float32)
         k = min(top_k, max(self.n, 1))
         return sharded_cosine_topk(
             self.mesh, self.axis, q, self.matrix_t, k, n_valid=self.n, method=method
         )
 
-    def search_texts(self, queries, top_k: int = 3, method: str = "dense"):
+    def search_texts(self, queries, top_k: int = 3, method: str = "auto"):
         from ..index.vector_index import SearchHit
 
         # Mirror DeviceVectorIndex.search_texts: prefer the semantic embedder

@@ -117,6 +117,13 @@ def _stage(msg: str) -> None:
     print(f"[probe {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception as e:  # tunnel hiccup — not worth failing a probe
+        return f"unknown ({e})"
+
+
 def oracle_check() -> None:
     """Correctness ON HARDWARE: compare fused-kernel ids/scores against the
     dense XLA path on the real chip at N=65536 (the CPU tests only cover
@@ -298,6 +305,84 @@ def ceiling_1m() -> None:
     print(line)
 
 
+def ivf_probe(name: str) -> None:
+    """IVF cluster-pruned tier on hardware: clustered synthetic corpus
+    (256 centers + noise), queries near corpus points. Logs ms/batch, QPS
+    and measured recall@10 vs the exact fused kernel on the same batch.
+
+    Names: ivf<nprobe>_<dtype>_q<Q> (1M) or tenm_ivf<nprobe>_<dtype>_q<Q>."""
+    import re
+
+    from ragfin_tpu.ops.ivf import build_ivf, ivf_topk
+
+    m = re.match(r"(tenm_)?ivf(\d+)_(bf16|int8)_q(\d+)$", name)
+    tenm, nprobe, dtype, q = m.groups()
+    n = 10_000_000 if tenm else 1_000_000
+    nprobe, q, k = int(nprobe), int(q), 10
+    _stage(f"start {name} N={n} backend={jax.default_backend()} device={_device_kind()}")
+
+    @jax.jit
+    def gen(key):
+        kc, kn, kq = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (256, D), jnp.float32)
+        which = jax.random.randint(kn, (n,), 0, 256)
+        x = centers[which] * 4.0 + jax.random.normal(kq, (n, D), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x.T.astype(jnp.bfloat16)
+
+    ct = gen(jax.random.PRNGKey(0))
+    np.asarray(ct[0, 0])
+    _stage("clustered corpus generated")
+    idx = build_ivf(ct, cell=2048, iters=3, quantize=(dtype == "int8"))
+    np.asarray(idx.centroids[0, 0])
+    _stage(f"ivf built: {idx.n_cells} cells")
+
+    kq = jax.random.PRNGKey(5)
+    picks = jax.random.randint(kq, (q,), 0, n)
+    qs = ct[:, picks].T.astype(jnp.float32) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), (q, D), jnp.float32
+    )
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+
+    # Recall oracle: exact fused top-k over the same corpus.
+    so, io = T.cosine_topk_fused(qs, ct, k, precision="fast")
+    si, ii = ivf_topk(qs, idx, k, nprobe=nprobe)
+    io_np, ii_np = np.asarray(io), np.asarray(ii)
+    recall = np.mean(
+        [len(set(ii_np[r]) & set(io_np[r])) / k for r in range(q)]
+    )
+    _stage(f"recall@10 vs exact = {recall:.4f}; timing")
+
+    R = 16
+    qsR = jnp.broadcast_to(qs, (R, q, D))
+
+    @jax.jit
+    def run(qsR, cells, scales, centroids, orig_ids):
+        from ragfin_tpu.ops.ivf import IVFIndex
+
+        ix = IVFIndex(cells, scales, centroids, orig_ids, idx.n_valid)
+
+        def step(carry, qq):
+            s, i = ivf_topk(qq, ix, k, nprobe=nprobe)
+            return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(step, 0.0, qsR)
+        return acc
+
+    args = (qsR, idx.cells, idx.scales, idx.centroids, idx.orig_ids)
+    np.asarray(run(*args))
+    t0 = time.perf_counter()
+    np.asarray(run(*args))
+    dt = (time.perf_counter() - t0) / R
+    line = (
+        f"{name} N={n}: {dt * 1e3:.2f} ms/batch ({q / dt:,.0f} QPS) "
+        f"recall@10={recall:.4f} nprobe={nprobe}/{idx.n_cells}"
+    )
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def ceiling_parts_1m(which: str) -> None:
     """Decompose ceiling_1m: ``dma`` = block DMA only (body touches one
     element), ``matmul`` = DMA + matmul (no row-max), ``rowmax`` = the
@@ -315,7 +400,9 @@ def ceiling_parts_1m(which: str) -> None:
             acc[:] = jnp.zeros_like(acc)
 
         if which == "dma":
-            acc[0, 0] = acc[0, 0] + ct_ref[0, 0].astype(jnp.float32)
+            # Full-block store (Mosaic rejects scalar stores to VMEM); the
+            # scalar read keeps the block DMA live without a VPU pass.
+            acc[:] = acc[:] + ct_ref[0, 0].astype(jnp.float32)
         else:
             s = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
             if which == "matmul":
@@ -479,6 +566,8 @@ def main(name: str) -> None:
     if name == "ceiling_tiled_1m":
         _stage(f"start ceiling_tiled_1m backend={jax.default_backend()}")
         return ceiling_tiled_1m()
+    if "ivf" in name:
+        return ivf_probe(name)
     if name.startswith("ceiling_") and name.endswith("_1m"):
         which = name[len("ceiling_"):-len("_1m")]
         _stage(f"start {name} backend={jax.default_backend()}")
@@ -506,7 +595,7 @@ def main(name: str) -> None:
     tiled = name.startswith(("bf16t", "int8t", "tenmt"))
     _stage(
         f"start {name} N={N} slice={slice_n} variant={variant} "
-        f"backend={jax.default_backend()}"
+        f"backend={jax.default_backend()} device={_device_kind()}"
     )
 
     @jax.jit

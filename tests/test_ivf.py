@@ -1,0 +1,130 @@
+"""IVF cluster-pruned tier (ops/ivf.py) — TPU-native IVF_FLAT equivalent.
+
+Reference semantics: Milvus IVF_FLAT nlist/nprobe (`chunking_storing
+(1).py:29`). Exhaustive probing must equal the exact oracle; pruned probing
+is measured for recall on clustered data (the regime IVF exists for).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ragfin_tpu.ops.ivf import build_ivf, ivf_topk
+from ragfin_tpu.ops.topk import _INT_MAX
+
+
+def _numpy_oracle(q, ct, k):
+    scores = q @ ct
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, order, axis=1), order
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    """20 well-separated clusters of 100 points each (64-dim)."""
+    rng = np.random.default_rng(7)
+    centers = _unit(rng, 20, 64) * 4.0
+    pts = np.concatenate(
+        [c + 0.3 * rng.standard_normal((100, 64)).astype(np.float32) for c in centers]
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    order = rng.permutation(len(pts))  # shuffle so build must recover structure
+    queries = _unit(rng, 16, 64) + 0  # random directions
+    # Also craft queries near cluster centers (the realistic case).
+    near = centers[:8] / np.linalg.norm(centers[:8], axis=1, keepdims=True)
+    queries = np.concatenate([queries[:8], near]).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return queries, pts[order].T.copy()  # [D, N=2000]
+
+
+class TestBuild:
+    def test_balanced_cells_and_pad_tail(self, clustered):
+        _, ct = clustered  # N=2000, cell=256 -> 8 cells, 48 pads
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=2)
+        assert idx.cells.shape == (8, 64, 256)
+        assert idx.n_valid == 2000
+        ids = np.asarray(idx.orig_ids)
+        assert np.all(ids[2000:] == _INT_MAX)  # pads at the permuted tail
+        real = ids[:2000]
+        assert sorted(real.tolist()) == list(range(2000))  # a true permutation
+
+    def test_quantized_build(self, clustered):
+        _, ct = clustered
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=1, quantize=True)
+        assert idx.cells.dtype == jnp.int8
+        assert idx.scales.shape == (8, 1, 256)
+
+
+class TestSearch:
+    def test_exhaustive_probing_matches_oracle(self, clustered):
+        """nprobe == n_cells scans everything: exact-oracle parity, including
+        tie-breaks, modulo the permutation (ids are mapped back)."""
+        q, ct = clustered
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=2)
+        s, i = ivf_topk(jnp.asarray(q), idx, k=10, nprobe=idx.n_cells, block_q=8)
+        es, ei = _numpy_oracle(q, ct, 10)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-4, atol=1e-5)
+        # Scores are exact; ids may differ only on exact-score ties (the
+        # permuted tie order differs from original-id order).
+        both = np.asarray(s) - es
+        assert np.max(np.abs(both)) < 1e-4
+        match = (np.asarray(i) == ei).mean()
+        assert match > 0.95
+
+    @staticmethod
+    def _clustered_queries(ct, n_q=64, seed=11):
+        """Queries near corpus points — the workload IVF exists for (real
+        embedding batches live on the corpus manifold, not random space)."""
+        rng = np.random.default_rng(seed)
+        base = ct.T[rng.integers(0, ct.shape[1], n_q)]
+        q = base + 0.1 * rng.standard_normal(base.shape).astype(np.float32)
+        return (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    def test_pruned_recall_on_clustered_queries(self, clustered):
+        _, ct = clustered
+        q = self._clustered_queries(ct)
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=3)
+        s, i = ivf_topk(jnp.asarray(q), idx, k=10, nprobe=4, block_q=8)
+        _, ei = _numpy_oracle(q, ct, 10)
+        got = np.asarray(i)
+        recall = np.mean([len(set(got[r]) & set(ei[r])) / 10 for r in range(len(q))])
+        assert recall >= 0.9, f"recall@10 {recall} with nprobe=4/8"
+
+    def test_int8_pruned_search(self, clustered):
+        _, ct = clustered
+        q = self._clustered_queries(ct, seed=12)
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=2, quantize=True)
+        s, i = ivf_topk(jnp.asarray(q), idx, k=5, nprobe=4, block_q=8)
+        _, ei = _numpy_oracle(q, ct, 5)
+        got = np.asarray(i)
+        recall = np.mean([len(set(got[r]) & set(ei[r])) / 5 for r in range(len(q))])
+        assert recall >= 0.85, f"recall@5 {recall}"
+
+    def test_diverse_queries_need_wider_probing(self, clustered):
+        """Random-direction queries are the IVF worst case: recall recovers
+        monotonically as nprobe grows toward exhaustive."""
+        q, ct = clustered
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=3)
+        _, ei = _numpy_oracle(q, ct, 10)
+        recalls = []
+        for nprobe in (2, 8):
+            _, i = ivf_topk(jnp.asarray(q), idx, k=10, nprobe=nprobe, block_q=8)
+            got = np.asarray(i)
+            recalls.append(
+                np.mean([len(set(got[r]) & set(ei[r])) / 10 for r in range(len(q))])
+            )
+        assert recalls[-1] == 1.0  # nprobe == n_cells: exhaustive
+        assert recalls[0] <= recalls[-1]
+
+    def test_query_count_not_block_multiple(self, clustered):
+        q, ct = clustered
+        idx = build_ivf(jnp.asarray(ct), cell=256, iters=1)
+        s, i = ivf_topk(jnp.asarray(q[:5]), idx, k=3, nprobe=3, block_q=8)
+        assert s.shape == (5, 3) and i.shape == (5, 3)
+        assert int(np.max(np.asarray(i))) < 2000  # never a pad id

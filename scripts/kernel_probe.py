@@ -400,9 +400,10 @@ def ceiling_parts_1m(which: str) -> None:
             acc[:] = jnp.zeros_like(acc)
 
         if which == "dma":
-            # Full-block store (Mosaic rejects scalar stores to VMEM); the
-            # scalar read keeps the block DMA live without a VPU pass.
-            acc[:] = acc[:] + ct_ref[0, 0].astype(jnp.float32)
+            # Full-block store (Mosaic rejects scalar stores to VMEM) and a
+            # 32-bit-cast [1,1] read (Mosaic rejects bf16 scalar extracts);
+            # keeps the block DMA live with near-zero VPU work.
+            acc[:] = acc[:] + jnp.sum(ct_ref[0:1, 0:1].astype(jnp.float32))
         else:
             s = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
             if which == "matmul":

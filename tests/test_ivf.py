@@ -122,6 +122,47 @@ class TestSearch:
         assert recalls[-1] == 1.0  # nprobe == n_cells: exhaustive
         assert recalls[0] <= recalls[-1]
 
+    def test_ivf_index_class_roundtrip(self, clustered, tmp_path):
+        """IVFVectorIndex: from_dense on the real 16-chunk corpus, text
+        search through the embedder, save/load identity."""
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        dense = DeviceVectorIndex.build(build_corpus("/root/reference/extract_data"))
+        ivf = IVFVectorIndex.from_dense(dense, cell=8, nprobe=2, iters=2)
+        assert ivf.stats()["index_type"] == "IVF_BALANCED"
+        hits = ivf.search_texts(["net profit Q1 FY2024"], top_k=3)[0]
+        assert hits and hits[0].record.chunk_type == "profitability_analysis"
+
+        ivf.save(str(tmp_path / "ivf"))
+        back = IVFVectorIndex.load(str(tmp_path / "ivf"))
+        h2 = back.search_texts(["net profit Q1 FY2024"], top_k=3)[0]
+        assert [h.id for h in h2] == [h.id for h in hits]
+
+    def test_ivf_index_int8_roundtrip(self, clustered, tmp_path):
+        _, ct = clustered
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+        records = [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q1_FY2024",
+                chunk_type="profitability_analysis", statement_type="consolidated",
+                primary_value=float(i),
+            )
+            for i in range(ct.shape[1])
+        ]
+        ivf = IVFVectorIndex.build(
+            ct.T.copy(), records, cell=256, nprobe=3, iters=2, quantize=True
+        )
+        q = self._clustered_queries(ct, n_q=4, seed=3)
+        s, i = ivf.search_embeddings(q, top_k=5)
+        ivf.save(str(tmp_path / "ivf8"))
+        back = IVFVectorIndex.load(str(tmp_path / "ivf8"))
+        s2, i2 = back.search_embeddings(q, top_k=5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
     def test_query_count_not_block_multiple(self, clustered):
         q, ct = clustered
         idx = build_ivf(jnp.asarray(ct), cell=256, iters=1)

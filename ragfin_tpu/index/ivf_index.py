@@ -101,10 +101,18 @@ class IVFVectorIndex:
     ):
         q = jnp.asarray(query_embeddings, jnp.float32)
         k = min(top_k, max(self.n, 1))
-        return ivf_topk(q, self.ivf, k, nprobe=nprobe or self.nprobe)
+        # A probe set is shared per query tile, so small batches get small
+        # tiles: a lone query should not have to share nprobe cells with 127
+        # zero pads, nor 8 diverse queries dilute each other's probes.
+        block_q = 8 if q.shape[0] <= 32 else 128
+        return ivf_topk(q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q)
 
     def search_texts(
-        self, queries: Sequence[str], top_k: int = 3, nprobe: Optional[int] = None
+        self,
+        queries: Sequence[str],
+        top_k: int = 3,
+        nprobe: Optional[int] = None,
+        method: str = "ivf",  # accepted for search-surface interchangeability
     ):
         from .vector_index import SearchHit
 

@@ -24,6 +24,45 @@ N = int(os.environ.get("DISTRACTOR_N", 1_000_000))
 REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
 
+def _ivf_agreement(idx, qa, out):
+    """IVF (cluster-pruned approximate) arm: overlap between IVF top-10 and
+    the EXACT top-10 in the same embedding space — this isolates the
+    cluster-pruning loss (recall-vs-labels belongs to the production
+    pipeline arms; the raw embedding space is ambiguous by construction,
+    see the raw_embedding ablation). Disable with DISTRACTOR_IVF=0."""
+    if os.environ.get("DISTRACTOR_IVF", "1") != "1" or len(idx) < 4096:
+        return
+    import numpy as np
+
+    from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+    t = time.perf_counter()
+    ivf = IVFVectorIndex.from_dense(idx, cell=2048, iters=3)
+    n_cells = ivf.ivf.n_cells
+    build_s = time.perf_counter() - t
+    questions = [q.question for q in qa]
+    exact = idx.search_texts(questions, top_k=10)
+    curve = {}
+    for nprobe in sorted({max(2, n_cells // 8), max(2, n_cells // 4), max(2, n_cells // 2), n_cells}):
+        approx = ivf.search_texts(questions, top_k=10, nprobe=nprobe)
+        overlaps = []
+        for e_hits, a_hits in zip(exact, approx):
+            e_ids = {h.id for h in e_hits}
+            if e_ids:
+                overlaps.append(len(e_ids & {h.id for h in a_hits}) / len(e_ids))
+        curve[nprobe] = round(float(np.mean(overlaps)) if overlaps else 0.0, 4)
+    out["results"]["ivf_vs_exact_overlap@10"] = {
+        "agreement_by_nprobe": curve,
+        "n_cells": n_cells,
+        "build_s": round(build_s, 1),
+    }
+    print(
+        f"[ivf] {n_cells} cells (built {build_s:.1f}s): top-10 agreement "
+        f"with exact by nprobe = {curve}",
+        flush=True,
+    )
+
+
 def main() -> None:
     from ragfin_tpu.data.loader import build_corpus
     from ragfin_tpu.eval.datasets import load_qa_subset, load_vector_eval
@@ -60,6 +99,8 @@ def main() -> None:
             f"precision={s['retrieval_precision']['mean']:.3f} zero={s['zero_recall_queries']}",
             flush=True,
         )
+
+    _ivf_agreement(idx, qa, out)
 
     os.makedirs("eval_results", exist_ok=True)
     path = f"eval_results/distractor_eval_{N}.json"

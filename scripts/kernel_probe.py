@@ -110,6 +110,20 @@ EXPERIMENTS = {
     "tenmm_bf16_q64": ("bf16", 2048, 64, 0, "mask"),
     "bf16m_bn2048_q4096": ("bf16", 2048, 4096, 0, "mask"),
     "int8m_bn2048_q4096": ("int8", 2048, 4096, 0, "mask"),
+    # big-block experiments (6th field = block_q): ceiling_dma showed the
+    # 1M-corpus floor is ~6us PER GRID STEP (266 GB/s at bn=2048), i.e.
+    # step-overhead-bound not bandwidth-bound — quarter the step count with
+    # bn=8192 (6MB tiles; block_q drops to 64 to fit VMEM: 2MB scores +
+    # 2x6MB corpus buffers).
+    "bf16big_bn8192_q64": ("bf16", 8192, 64, 0, "invariant", 64),
+    "int8big_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    "bf16big_bn8192_q1024": ("bf16", 8192, 1024, 0, "invariant", 64),
+    "int8big_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "bf16big_bn4096_q64": ("bf16", 4096, 64, 0, "invariant", 64),
+    "int8big_bn16384_q1024": ("int8", 16384, 1024, 0, "invariant", 64),
+    "tenmbig_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "bf16bigm_bn8192_q1024": ("bf16", 8192, 1024, 0, "mask", 64),
+    "int8bigm_bn8192_q1024": ("int8", 8192, 1024, 0, "mask", 64),
 }
 
 
@@ -386,11 +400,20 @@ def ivf_probe(name: str) -> None:
 def ceiling_parts_1m(which: str) -> None:
     """Decompose ceiling_1m: ``dma`` = block DMA only (body touches one
     element), ``matmul`` = DMA + matmul (no row-max), ``rowmax`` = the
-    original DMA + matmul + row-max. Attributes the 2.64 ms ceiling."""
+    original DMA + matmul + row-max. A numeric suffix overrides block_n
+    (e.g. ``dma8192``) — tests the per-grid-step-overhead hypothesis."""
+    import re
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, bn = 1_000_000, 2048
+    tag = which
+    m = re.match(r"([a-z]+)(\d+)$", which)
+    if m:
+        which, bn = m.group(1), int(m.group(2))
+    if n % bn:
+        n = (n // bn) * bn  # probe-only: trim to an integral grid
 
     def kern(q_ref, ct_ref, out_ref, acc):
         j = pl.program_id(1)
@@ -444,7 +467,7 @@ def ceiling_parts_1m(which: str) -> None:
     t0 = time.perf_counter()
     np.asarray(run(qs16, ct))
     dt = (time.perf_counter() - t0) / 16
-    line = f"ceiling_{which}_1m: {dt*1e3:.2f} ms/batch (Q=64 eq, 768MB read)"
+    line = f"ceiling_{tag}_1m: {dt*1e3:.2f} ms/batch (Q=64 eq, 768MB read, bn={bn})"
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line)
@@ -589,11 +612,14 @@ def main(name: str) -> None:
     dtype, block_n, q = spec[:3]
     slice_n = spec[3] if len(spec) > 3 else 0
     variant = spec[4] if len(spec) > 4 else "invariant"
+    block_q = spec[5] if len(spec) > 5 else 128
     if name.startswith("canary"):
         N = 65536
     elif name.startswith("tenm"):
         N = 10_000_000
     tiled = name.startswith(("bf16t", "int8t", "tenmt"))
+    if name.startswith("tenmbig"):
+        N = 10_000_000
     _stage(
         f"start {name} N={N} slice={slice_n} variant={variant} "
         f"backend={jax.default_backend()} device={_device_kind()}"
@@ -617,7 +643,8 @@ def main(name: str) -> None:
             sc = T.tile_scales(sc, block_n=block_n)
         operands = (c8, sc)
         inner = lambda qq, c, s: T.cosine_topk_fused_int8(
-            qq, c, s, K, block_n=block_n, slice_n=slice_n, variant=variant
+            qq, c, s, K, block_n=block_n, slice_n=slice_n, variant=variant,
+            block_q=block_q,
         )
         np.asarray(c8[(0, 0, 0)] if tiled else c8[0, 0])
         del ct  # free the 7.7GB bf16 source at 10M before the timed runs
@@ -626,7 +653,8 @@ def main(name: str) -> None:
             ct = T.tile_corpus_t(ct, block_n=block_n)
         operands = (ct,)
         inner = lambda qq, c: T.cosine_topk_fused(
-            qq, c, K, precision="fast", block_n=block_n, slice_n=slice_n, variant=variant
+            qq, c, K, precision="fast", block_n=block_n, slice_n=slice_n,
+            variant=variant, block_q=block_q,
         )
         np.asarray(ct[(0, 0, 0)] if tiled else ct[0, 0])
     _stage("corpus generated + settled")

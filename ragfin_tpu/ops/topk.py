@@ -452,10 +452,20 @@ def _fused_kernel(
         precision=_PRECISIONS[precision],
     )
     col0 = j * block_n
-    local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+    # Only the FINAL corpus tile can hold pad columns (pad_n < block_n), so
+    # gate the iota+compare+select masking — ~3 full-tile VPU passes — behind
+    # a scalar branch instead of paying it on every grid step.
+    needs_mask = col0 + block_n > n_valid_ref[0]
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    @pl.when(jnp.logical_not(needs_mask))
+    def _merge_clean():
+        _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+
+    @pl.when(needs_mask)
+    def _merge_masked():
+        local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        masked = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+        _merge_tile(masked, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -610,16 +620,30 @@ def _fused_kernel_int8(
     rhs = ct_ref[0] if ct_ref.ndim == 3 else ct_ref[:]
     cscale = cs_ref[0] if cs_ref.ndim == 3 else cs_ref[:]
     int_scores = jnp.dot(q_ref[:], rhs, preferred_element_type=jnp.int32)
-    scores = int_scores.astype(jnp.float32) * qs_ref[:] * cscale
+    # The per-ROW query scale is a positive constant within each row, so it
+    # cannot change the selection order — defer it to the flush ([TQ, k]
+    # elements) instead of a full [TQ, TN] multiply pass on every tile.
+    # Only the per-COLUMN corpus scale must be applied before the merge.
+    scores = int_scores.astype(jnp.float32) * cscale
     col0 = j * block_n
-    local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+    needs_mask = col0 + block_n > n_valid_ref[0]
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    @pl.when(jnp.logical_not(needs_mask))
+    def _merge_clean():
+        _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+
+    @pl.when(needs_mask)
+    def _merge_masked():
+        local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        masked = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
+        _merge_tile(masked, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
-        out_s_ref[:] = acc_s[rows]
+        s = acc_s[rows]
+        # Apply the deferred per-row query scale; keep the NEG_INF sentinel
+        # exact (NEG_INF * 0.0 would be NaN for an all-zero query row).
+        out_s_ref[:] = jnp.where(s == NEG_INF, NEG_INF, s * qs_ref[:])
         out_i_ref[:] = acc_i[rows]
 
 

@@ -122,6 +122,24 @@ EXPERIMENTS = {
     "bf16big_bn4096_q64": ("bf16", 4096, 64, 0, "invariant", 64),
     "int8big_bn16384_q1024": ("int8", 16384, 1024, 0, "invariant", 64),
     "tenmbig_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    # bf16 at bn=8192/bq=64 OOMs scoped VMEM (18.25M: 2x6.3M corpus buffers
+    # + 2M f32 scores + acc); 6144 is the largest bf16 block that fits.
+    "bf16big_bn6144_q64": ("bf16", 6144, 64, 0, "invariant", 64),
+    "bf16big_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 64),
+    "tenmbig_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    "int8big_bn8192_q128": ("int8", 8192, 128, 0, "invariant", 64),
+    "int8big_bn8192_q256": ("int8", 8192, 256, 0, "invariant", 64),
+    # v6 = gated n_valid masking (the iota+cmp+select pad mask now only runs
+    # on the final corpus tile) + deferred per-row query scale in the int8
+    # kernel (order-preserving, applied at flush). Same big-block configs.
+    "bf16v6_bn6144_q64": ("bf16", 6144, 64, 0, "invariant", 64),
+    "bf16v6_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 64),
+    "bf16v6_bn4096_q64": ("bf16", 4096, 64, 0, "invariant", 64),
+    "int8v6_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    "int8v6_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "int8v6bq128_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
+    "tenmv6_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "tenmv6_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
     "bf16bigm_bn8192_q1024": ("bf16", 8192, 1024, 0, "mask", 64),
     "int8bigm_bn8192_q1024": ("int8", 8192, 1024, 0, "mask", 64),
 }
@@ -138,21 +156,37 @@ def _device_kind() -> str:
         return f"unknown ({e})"
 
 
-def oracle_check() -> None:
+def oracle_check(padded: bool = False) -> None:
     """Correctness ON HARDWARE: compare fused-kernel ids/scores against the
     dense XLA path on the real chip at N=65536 (the CPU tests only cover
-    interpret mode; Mosaic lowering differences would show up here)."""
+    interpret mode; Mosaic lowering differences would show up here).
+
+    ``padded`` trims n_valid below a block boundary so the final corpus tile
+    takes the gated masking branch (pl.when) on hardware, and also runs the
+    int8 kernel (deferred query scale) against its dequantized-dense oracle."""
     n, q, k = 65536, 64, 10
+    n_valid = (n - 1234) if padded else None
     key = jax.random.PRNGKey(3)
     ct = jax.random.normal(key, (D, n), jnp.float32)
     ct = ct / jnp.linalg.norm(ct, axis=0, keepdims=True)
     qs = jax.random.normal(jax.random.PRNGKey(4), (q, D), jnp.float32)
     qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
-    sf, if_ = T.cosine_topk_fused(qs, ct, k, precision="exact")
-    sd, id_ = T.cosine_topk_dense(qs, ct, k, precision="exact")
+    sf, if_ = T.cosine_topk_fused(qs, ct, k, n_valid=n_valid, precision="exact")
+    sd, id_ = T.cosine_topk_dense(qs, ct, k, n_valid=n_valid, precision="exact")
     ids_match = bool(jnp.all(if_ == id_))
     score_err = float(jnp.max(jnp.abs(sf - sd)))
-    line = f"oracle_check N={n}: ids_match={ids_match} max_score_err={score_err:.2e}"
+    tag = "oracle_check_padded" if padded else "oracle_check"
+    extra = ""
+    if padded:
+        c8, sc = quantize_corpus_t(ct.astype(jnp.bfloat16))
+        s8, i8 = T.cosine_topk_fused_int8(qs, c8, sc, k, n_valid=n_valid)
+        dq = c8.astype(jnp.float32) * sc
+        sd8, id8 = T.cosine_topk_dense(qs, dq, k, n_valid=n_valid, precision="exact")
+        i8_match = bool(jnp.all(i8 == id8))
+        s8_err = float(jnp.max(jnp.abs(s8 - sd8)))
+        extra = f" int8_ids_match={i8_match} int8_score_err={s8_err:.2e}"
+        assert int(jnp.max(if_)) < n_valid and int(jnp.max(i8)) < n_valid
+    line = f"{tag} N={n}: ids_match={ids_match} max_score_err={score_err:.2e}{extra}"
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line)
@@ -605,6 +639,9 @@ def main(name: str) -> None:
     if name == "oracle_check":
         _stage(f"start oracle_check backend={jax.default_backend()}")
         return oracle_check()
+    if name == "oracle_check_padded":
+        _stage(f"start oracle_check_padded backend={jax.default_backend()}")
+        return oracle_check(padded=True)
     if name == "noscan_1m":
         _stage(f"start noscan_1m backend={jax.default_backend()}")
         return noscan_1m()

@@ -33,7 +33,9 @@ K = int(os.environ.get("BENCH_K", 10))
 D = 384
 REPS = int(os.environ.get("BENCH_REPS", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | int8 | f32
-BLOCK_N = int(os.environ.get("BENCH_BLOCK_N", 2048))
+# None → the kernel's measured-winner defaults (ops/topk.py _default_blocks).
+BLOCK_N = int(os.environ["BENCH_BLOCK_N"]) if os.environ.get("BENCH_BLOCK_N") else None
+BLOCK_Q = int(os.environ["BENCH_BLOCK_Q"]) if os.environ.get("BENCH_BLOCK_Q") else None
 
 
 def cpu_baseline_qps(d: int = D, k: int = K) -> float:
@@ -98,12 +100,16 @@ def main() -> None:
     if DTYPE == "int8":
         corpus, scales = quantize_corpus_t(ct)
         operands = (corpus, scales)
-        inner = lambda q, c, s: cosine_topk_fused_int8(q, c, s, K, n_valid=N, block_n=BLOCK_N)
+        inner = lambda q, c, s: cosine_topk_fused_int8(
+            q, c, s, K, n_valid=N, block_n=BLOCK_N, block_q=BLOCK_Q
+        )
     else:
         corpus = ct.astype(jnp.float32) if DTYPE == "f32" else ct
         precision = "exact" if DTYPE == "f32" else "fast"
         operands = (corpus,)
-        inner = lambda q, c: cosine_topk_fused(q, c, K, n_valid=N, precision=precision, block_n=BLOCK_N)
+        inner = lambda q, c: cosine_topk_fused(
+            q, c, K, n_valid=N, precision=precision, block_n=BLOCK_N, block_q=BLOCK_Q
+        )
     np.asarray(corpus[0, 0])  # settle transfers
 
     keys = jax.random.split(jax.random.PRNGKey(1), REPS)

@@ -452,20 +452,16 @@ def _fused_kernel(
         precision=_PRECISIONS[precision],
     )
     col0 = j * block_n
-    # Only the FINAL corpus tile can hold pad columns (pad_n < block_n), so
-    # gate the iota+compare+select masking — ~3 full-tile VPU passes — behind
-    # a scalar branch instead of paying it on every grid step.
-    needs_mask = col0 + block_n > n_valid_ref[0]
+    # Pad-column masking. A full-tile iota+compare+select is ~3 VPU passes;
+    # comparing on a [1, TN] iota row and broadcasting the select along the
+    # sublanes costs ~1. (A scalar pl.when branch that skips masking on
+    # interior tiles measured SLOWER — the conditional region breaks
+    # Mosaic's cross-step pipelining; see probe_results.log v6 vs big.)
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
+    valid_row = (col0 + iota_row) < n_valid_ref[0]
+    scores = jnp.where(valid_row, scores, NEG_INF)
 
-    @pl.when(jnp.logical_not(needs_mask))
-    def _merge_clean():
-        _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
-
-    @pl.when(needs_mask)
-    def _merge_masked():
-        local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        masked = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
-        _merge_tile(masked, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -554,13 +550,35 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     return out_s[:q], out_i[:q]
 
 
+def _default_blocks(corpus_dtype, block_q, block_n, precision="fast"):
+    """Measured-winner default tile sizes (probe_results.log, v5e).
+
+    Big corpus blocks amortize per-grid-step overhead; ``block_q=64`` halves
+    the VPU merge-pass width vs 128 (padded rows cost real passes) and won at
+    every measured Q. ``block_n`` is bounded by the 16 MB scoped-VMEM budget
+    (two double-buffered corpus tiles + the f32 score tile): int8 fits 8192,
+    bf16 single-pass fits 6144. The exact tier keeps f32 queries, so a bf16
+    corpus tile is upcast to an f32 copy in-kernel — that (and a plain f32
+    corpus) stays at 2048."""
+    if block_q is None:
+        block_q = 64
+    if block_n is None:
+        if corpus_dtype == jnp.int8:
+            block_n = 8192
+        elif corpus_dtype == jnp.bfloat16 and precision == "fast":
+            block_n = 6144
+        else:
+            block_n = 2048
+    return block_q, block_n
+
+
 def cosine_topk_fused(
     queries: jax.Array,
     corpus_t: jax.Array,
     k: int,
     n_valid: Optional[int] = None,
-    block_q: int = 128,
-    block_n: int = 2048,
+    block_q: Optional[int] = None,
+    block_n: Optional[int] = None,
     precision: str = "exact",
     interpret: Optional[bool] = None,
     slice_n: Optional[int] = None,
@@ -573,6 +591,7 @@ def cosine_topk_fused(
     block DMAs — the fast path; ``block_n`` is then taken from the layout).
     ``slice_n`` bounds the merge's per-iteration VPU pass width (see
     :func:`_merge_tile_sliced`); default from ``RAGFIN_MERGE_SLICE``.
+    Block sizes default to the measured winners (:func:`_default_blocks`).
     Falls back to interpret mode automatically off-TPU so the same call sites
     work on the CPU test mesh.
     """
@@ -582,6 +601,7 @@ def cosine_topk_fused(
         slice_n = _MERGE_SLICE
     if variant is None:
         variant = _MERGE_VARIANT
+    block_q, block_n = _default_blocks(corpus_t.dtype, block_q, block_n, precision)
     return _fused_call(
         queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret,
         slice_n, variant,
@@ -626,17 +646,11 @@ def _fused_kernel_int8(
     # Only the per-COLUMN corpus scale must be applied before the merge.
     scores = int_scores.astype(jnp.float32) * cscale
     col0 = j * block_n
-    needs_mask = col0 + block_n > n_valid_ref[0]
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
+    valid_row = (col0 + iota_row) < n_valid_ref[0]
+    scores = jnp.where(valid_row, scores, NEG_INF)
 
-    @pl.when(jnp.logical_not(needs_mask))
-    def _merge_clean():
-        _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
-
-    @pl.when(needs_mask)
-    def _merge_masked():
-        local_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        masked = jnp.where(local_ids < n_valid_ref[0], scores, NEG_INF)
-        _merge_tile(masked, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -729,8 +743,8 @@ def cosine_topk_fused_int8(
     scales: jax.Array,
     k: int,
     n_valid: Optional[int] = None,
-    block_q: int = 128,
-    block_n: int = 2048,
+    block_q: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     slice_n: Optional[int] = None,
     variant: Optional[str] = None,
@@ -749,6 +763,7 @@ def cosine_topk_fused_int8(
         slice_n = _MERGE_SLICE
     if variant is None:
         variant = _MERGE_VARIANT
+    block_q, block_n = _default_blocks(jnp.int8, block_q, block_n)
     return _fused_call_int8(
         queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret,
         slice_n, variant,

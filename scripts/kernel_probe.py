@@ -129,9 +129,9 @@ EXPERIMENTS = {
     "tenmbig_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
     "int8big_bn8192_q128": ("int8", 8192, 128, 0, "invariant", 64),
     "int8big_bn8192_q256": ("int8", 8192, 256, 0, "invariant", 64),
-    # v6 = gated n_valid masking (the iota+cmp+select pad mask now only runs
-    # on the final corpus tile) + deferred per-row query scale in the int8
-    # kernel (order-preserving, applied at flush). Same big-block configs.
+    # v6 = gated n_valid masking (scalar pl.when around the merge) + deferred
+    # per-row query scale in the int8 kernel. MEASURED SLOWER than big: the
+    # conditional region breaks cross-step pipelining. Superseded by v7.
     "bf16v6_bn6144_q64": ("bf16", 6144, 64, 0, "invariant", 64),
     "bf16v6_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 64),
     "bf16v6_bn4096_q64": ("bf16", 4096, 64, 0, "invariant", 64),
@@ -140,6 +140,15 @@ EXPERIMENTS = {
     "int8v6bq128_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
     "tenmv6_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
     "tenmv6_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    # v7 = unconditional masking via [1, TN] iota-row compare + ONE broadcast
+    # select pass (vs the old full-tile iota+cmp+select ~3 passes), deferred
+    # int8 query scale kept.
+    "bf16v7_bn6144_q64": ("bf16", 6144, 64, 0, "invariant", 64),
+    "bf16v7_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 64),
+    "int8v7_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    "int8v7_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "tenmv7_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
+    "tenmv7_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
     "bf16bigm_bn8192_q1024": ("bf16", 8192, 1024, 0, "mask", 64),
     "int8bigm_bn8192_q1024": ("int8", 8192, 1024, 0, "mask", 64),
 }
@@ -286,6 +295,49 @@ def graph_match_10m() -> None:
     line = (
         f"graph_match_10m pack={pack_s:.1f}s first={first_s:.1f}s "
         f"match={dt*1e3:.2f} ms (dispatch incl.), aggregate_count={agg['count']}"
+    )
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+def minilm_encode() -> None:
+    """T1 perf: MiniLM-L6 batch-encode throughput on TPU (chunks/s).
+
+    Random-init weights (no checkpoint in image) — identical FLOPs to the
+    pretrained model. B=256 texts of S=128 tokens per batch, bf16 activations,
+    amortized over 16 batches in one jitted lax.scan."""
+    from ragfin_tpu.models.minilm import MiniLMConfig, MiniLMEncoder, init_params
+
+    cfg = MiniLMConfig()
+    B, S, R = 256, 128, 16
+    enc = MiniLMEncoder(cfg)
+    params = init_params(cfg, seed=0)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (R, B, S)), jnp.int32)
+    amask = jnp.ones((R, B, S), jnp.int32)
+
+    @jax.jit
+    def run(params, ids, amask):
+        def step(carry, x):
+            i, m = x
+            emb = enc.apply(params, i, m)
+            return carry + emb[0, 0].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(step, 0.0, (ids, amask))
+        return acc
+
+    _stage("minilm_encode: compiling")
+    np.asarray(run(params, ids, amask))
+    t0 = time.perf_counter()
+    np.asarray(run(params, ids, amask))
+    dt = (time.perf_counter() - t0) / R
+    line = (
+        f"minilm_encode B={B} S={S} bf16: {dt*1e3:.2f} ms/batch "
+        f"({B/dt:,.0f} chunks/s)"
     )
     with open(LOG, "a") as f:
         f.write(line + "\n")
@@ -645,6 +697,9 @@ def main(name: str) -> None:
     if name == "noscan_1m":
         _stage(f"start noscan_1m backend={jax.default_backend()}")
         return noscan_1m()
+    if name == "minilm_encode":
+        _stage(f"start minilm_encode backend={jax.default_backend()}")
+        return minilm_encode()
     spec = EXPERIMENTS[name]
     dtype, block_n, q = spec[:3]
     slice_n = spec[3] if len(spec) > 3 else 0

@@ -410,25 +410,33 @@ def ivf_probe(name: str) -> None:
     (256 centers + noise), queries near corpus points. Logs ms/batch, QPS
     and measured recall@10 vs the exact fused kernel on the same batch.
 
-    Names: ivf<nprobe>_<dtype>_q<Q> (1M) or tenm_ivf<nprobe>_<dtype>_q<Q>."""
+    Names: ivf<nprobe>[bq<bq>]_<dtype>_q<Q> (1M) or tenm_ivf... (10M).
+    Probes are selected PER QUERY TILE (cells are kernel blocks), so for
+    independent random queries the honest config is a small block_q (its own
+    probe list per few queries); block_q=128 with diverse queries shares one
+    probe list across 128 rows and recall collapses by design."""
     import re
 
     from ragfin_tpu.ops.ivf import build_ivf, ivf_topk
 
-    m = re.match(r"(tenm_)?ivf(\d+)_(bf16|int8)_q(\d+)$", name)
-    tenm, nprobe, dtype, q = m.groups()
+    m = re.match(r"(tenm_)?ivf(\d+)(?:bq(\d+))?_(bf16|int8)_q(\d+)$", name)
+    tenm, nprobe, bq, dtype, q = m.groups()
     n = 10_000_000 if tenm else 1_000_000
     nprobe, q, k = int(nprobe), int(q), 10
+    bq = int(bq) if bq else 128
     _stage(f"start {name} N={n} backend={jax.default_backend()} device={_device_kind()}")
 
     @jax.jit
     def gen(key):
+        # Built directly in the transposed [D, n] bf16 layout: the f32 [n, D]
+        # intermediate (15.4 GB at 10M) OOMs a 16 GB chip.
         kc, kn, kq = jax.random.split(key, 3)
         centers = jax.random.normal(kc, (256, D), jnp.float32)
         which = jax.random.randint(kn, (n,), 0, 256)
-        x = centers[which] * 4.0 + jax.random.normal(kq, (n, D), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return x.T.astype(jnp.bfloat16)
+        x = centers.T.astype(jnp.bfloat16)[:, which] * jnp.bfloat16(4.0)
+        x = x + jax.random.normal(kq, (D, n), jnp.bfloat16)
+        n2 = jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32)
+        return x * jax.lax.rsqrt(n2 + 1e-12)[None, :].astype(jnp.bfloat16)
 
     ct = gen(jax.random.PRNGKey(0))
     np.asarray(ct[0, 0])
@@ -446,7 +454,7 @@ def ivf_probe(name: str) -> None:
 
     # Recall oracle: exact fused top-k over the same corpus.
     so, io = T.cosine_topk_fused(qs, ct, k, precision="fast")
-    si, ii = ivf_topk(qs, idx, k, nprobe=nprobe)
+    si, ii = ivf_topk(qs, idx, k, nprobe=nprobe, block_q=bq)
     io_np, ii_np = np.asarray(io), np.asarray(ii)
     recall = np.mean(
         [len(set(ii_np[r]) & set(io_np[r])) / k for r in range(q)]
@@ -463,7 +471,7 @@ def ivf_probe(name: str) -> None:
         ix = IVFIndex(cells, scales, centroids, orig_ids, idx.n_valid)
 
         def step(carry, qq):
-            s, i = ivf_topk(qq, ix, k, nprobe=nprobe)
+            s, i = ivf_topk(qq, ix, k, nprobe=nprobe, block_q=bq)
             return carry + s[0, 0] + i[0, 0].astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(step, 0.0, qsR)

@@ -17,6 +17,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("RAGFIN_DEMO_TPU") != "1":
+    # The 16-chunk demo gains nothing from the TPU and the axon tunnel is
+    # single-client/unreliable (CLAUDE.md); the env-var route
+    # (JAX_PLATFORMS=cpu) is ignored by the axon plugin, so pin via config.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()

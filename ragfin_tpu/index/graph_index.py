@@ -166,14 +166,23 @@ def masked_first_k(hit: jax.Array, k: int, block_n: int = 131072, interpret: boo
     return out_ids[0], out_cnt[0, 0]
 
 
-@jax.jit
-def _hit_vector(quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask):
-    """Masked fact predicate, one vectorized pass (the Cypher WHERE clause)."""
+def _predicate(quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask):
+    """Masked fact predicate (the Cypher WHERE clause) — the single source of
+    truth shared by :func:`_hit_vector`, :func:`_match_kernel` and
+    :func:`_aggregate_kernel` (inlined under their jit)."""
     return (
         quarter_mask[quarter_ids]
         & entity_mask[entity_ids]
         & type_mask[type_ids]
         & row_valid
+    )
+
+
+@jax.jit
+def _hit_vector(quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask):
+    """Masked fact predicate, one vectorized pass."""
+    return _predicate(
+        quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask
     )
 
 
@@ -191,11 +200,8 @@ def _match_kernel(
     (quarter-major), matching the reference's ``ORDER BY q.name``.
     """
     rows = quarter_ids.shape[0]
-    hit = (
-        quarter_mask[quarter_ids]
-        & entity_mask[entity_ids]
-        & type_mask[type_ids]
-        & row_valid
+    hit = _predicate(
+        quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask
     )
     row_idx = jnp.arange(rows, dtype=jnp.int32)
     score = jnp.where(hit, -row_idx, _RANK_MISS)
@@ -212,13 +218,9 @@ def _aggregate_kernel(values, quarter_ids, entity_ids, type_ids, row_valid,
 
     Powers peak/trough questions ("which quarter did X peak") as one device
     reduction instead of host-side sorting of match results."""
-    hit = (
-        quarter_mask[quarter_ids]
-        & entity_mask[entity_ids]
-        & type_mask[type_ids]
-        & row_valid
-        & jnp.isfinite(values)
-    )
+    hit = _predicate(
+        quarter_ids, entity_ids, type_ids, row_valid, quarter_mask, entity_mask, type_mask
+    ) & jnp.isfinite(values)
     pos = jnp.where(hit, values, -jnp.inf)
     neg = jnp.where(hit, values, jnp.inf)
     count = jnp.maximum(jnp.sum(hit), 1)
@@ -378,7 +380,9 @@ class GraphIndex:
         for m in entities.financial_metrics:
             put(METRIC, m.name, m.value, m.growth_yoy, None, m.unit)
         for s in entities.business_segments:
-            put(SEGMENT, s.name, s.revenue, None, s.margin, s.percentage_of_total)
+            # Segments have no YoY-growth field, so the growth column carries
+            # percentage_of_total (a float does not belong in the unit vocab).
+            put(SEGMENT, s.name, s.revenue, s.percentage_of_total, s.margin, None)
         for r in entities.financial_ratios:
             put(RATIO, r.name, r.value, r.growth_yoy, None, r.unit)
         for b in entities.balance_sheet_items:
@@ -500,8 +504,9 @@ class GraphIndex:
         qm = np.zeros((nq,), bool)
         if quarters:
             for q in quarters:
-                if q in self.quarters:
-                    qm[self.quarters.index(q)] = True
+                qid = self._quarter_id.get(q)
+                if qid is not None and qid < nq:
+                    qm[qid] = True
         else:
             qm[:] = True
         em = np.zeros((ne,), bool)
@@ -624,7 +629,8 @@ class GraphIndex:
                             "growth": growth, "unit": unit, "source_chunk": chunk_id})
             elif t == SEGMENT:
                 out.append({"quarter": quarter, "segment_name": name, "revenue": value,
-                            "margin": aux, "source_chunk": chunk_id})
+                            "margin": aux, "percentage_of_total": growth,
+                            "source_chunk": chunk_id})
             elif t == RATIO:
                 out.append({"quarter": quarter, "ratio_name": name, "value": value,
                             "growth": growth, "unit": unit, "source_chunk": chunk_id})

@@ -146,6 +146,9 @@ def make_minilm_pp_forward(
         check_vma=False,
     )
 
+    # jit the whole composition: an eager shard_map re-traces per call
+    # (~2.7 s/call through the tunnel — see CLAUDE.md / sharded.py).
+    @jax.jit
     def forward(params, input_ids, attention_mask):
         outer, stacked = split_minilm_params(params, config)
         hidden = embed_stage(outer, input_ids, config)  # [M, B, S, H]

@@ -56,30 +56,56 @@ def extract_filters(question: str, known_periods: Sequence[str]) -> QueryFilters
     no filter rather than an empty result set).
     """
     ql = question.lower()
-    years = sorted({p.split("_FY")[1] for p in known_periods if "_FY" in p})
-    m = re.search(r"fy\s?(\d{4})", ql)
-    year = m.group(1) if m else None
+    years_vocab = sorted({p.split("_FY")[1] for p in known_periods if "_FY" in p})
+    known = set(known_periods)
 
-    qnums = [int(n) for n in re.findall(r"\bq([1-4])\b", ql)]
+    # Explicit quarter+year pairs first ("Q4 FY2024", "FY2024 Q4",
+    # "Q2 of/in FY2024") so multi-year comparisons keep each quarter with
+    # ITS year; the matched spans are cut out before leftover parsing.
+    pairs: list[tuple[int, str]] = []
+    spans: list[tuple[int, int]] = []
+    for pat, qg, yg in (
+        (r"\bq([1-4])\s*(?:of|in|for)?[\s_-]*fy\s?(\d{4})\b", 1, 2),
+        (r"\bfy\s?(\d{4})\s*(?:,)?[\s_-]*q([1-4])\b", 2, 1),
+    ):
+        for m in re.finditer(pat, ql):
+            pairs.append((int(m.group(qg)), m.group(yg)))
+            spans.append(m.span())
+    residual = list(ql)
+    for a, b in spans:
+        residual[a:b] = " " * (b - a)
+    residual = "".join(residual)
+
+    rest_years = list(dict.fromkeys(re.findall(r"fy\s?(\d{4})", residual)))
+    rest_qnums = [int(n) for n in re.findall(r"\bq([1-4])\b", residual)]
     for word, num in _ORDINALS.items():
-        if re.search(rf"\b{word}\s+quarter", ql):
-            qnums.append(num)
+        if re.search(rf"\b{word}\s+quarter", residual):
+            rest_qnums.append(num)
+    rest_qnums = list(dict.fromkeys(rest_qnums))
 
-    periods: list[str] = []
-    if year is not None and year in years:
-        if qnums:
-            periods = [f"Q{n}_FY{year}" for n in dict.fromkeys(qnums)]
-        else:
-            # Year named but no quarter (trend questions): all its quarters.
-            periods = [p for p in known_periods if p.endswith(f"FY{year}")]
-    elif year is None and qnums and len(years) == 1:
-        # Quarter named without any year, in a single-year corpus.
-        periods = [f"Q{n}_FY{years[0]}" for n in dict.fromkeys(qnums)]
-    periods = [p for p in periods if p in set(known_periods)]
+    periods: list[str] = [f"Q{n}_FY{y}" for n, y in dict.fromkeys(pairs)]
+    if rest_qnums:
+        if rest_years:
+            # Loose quarters pair with every mentioned year (recall-safe).
+            periods += [f"Q{n}_FY{y}" for y in rest_years for n in rest_qnums]
+        elif pairs:
+            periods += [
+                f"Q{n}_FY{y}" for y in dict.fromkeys(y for _, y in pairs)
+                for n in rest_qnums
+            ]
+        elif len(years_vocab) == 1:
+            # Quarter named without any year, in a single-year corpus.
+            periods += [f"Q{n}_FY{years_vocab[0]}" for n in rest_qnums]
+    else:
+        # Year(s) named without a quarter (trend questions): all quarters.
+        for y in rest_years:
+            periods += [p for p in known_periods if p.endswith(f"FY{y}")]
+    periods = [p for p in dict.fromkeys(periods) if p in known]
 
     # First match wins; _TYPE_HINTS is ordered most-specific-first (segment
-    # words beat the generic profit/income vocabulary). A wrong hint costs
-    # only early precision under FilteredSearch's tiered fill, never recall.
+    # words beat the generic profit/income vocabulary). The hint is a
+    # ranking prior, not a hard filter: FilteredSearch always fetches the
+    # untyped sibling tier too (see its docstring for the semantics).
     chunk_type = None
     for ctype, words in _TYPE_HINTS:
         if any(w in ql for w in words):
@@ -104,10 +130,15 @@ class FilteredSearch:
     layer's ``company_name``/``dataset_id`` concept, neo4j_service.py:48)
     unless the question names another known company explicitly.
 
-    **Tiered fill.** Results fill from the most-specific filter outward:
-    (company ∧ periods ∧ type) → (company ∧ periods) → (company) → unscoped.
-    Each tier is exact-sparse-reranked; later tiers only top up missing
-    slots, so a wrong chunk-type hint costs precision-at-1, never recall."""
+    **Tiered fill.** Results fill from the most-specific filter outward in
+    GROUPS: [(company ∧ periods ∧ type), (company ∧ periods)] → (company) →
+    unscoped. Both tiers of the first group are always fetched; typed hits
+    rank first (the hint is a deliberate ranking prior — under the lexical
+    embedder it corrects raw-score inversions and measures ~2.5 recall@3
+    points better than score-ordered merging on qa_subset), so a wrong hint
+    can demote an other-type gold below the typed block at small k, but it
+    is always in the candidate list (recall@k recovers for k > the typed
+    block). Later groups only top up missing slots."""
 
     def __init__(
         self,
@@ -133,13 +164,33 @@ class FilteredSearch:
             self._vocab_cache = cached
         return cached[1], cached[2], cached[3]
 
+    # Words too generic to identify a company on their own ("Bank of
+    # Baroda" must not claim every question containing "bank").
+    _GENERIC_NAME_TOKENS = frozenset(
+        {"bank", "banking", "the", "of", "and", "india", "indian", "state",
+         "national", "life", "general", "limited", "ltd", "finance",
+         "financial", "services", "capital", "group", "corp", "corporation"}
+    )
+
     def _company_for(self, question: str, companies: list) -> Optional[str]:
         if len(companies) <= 1:
             return None  # single-tenant corpus: no mask needed
-        ql = question.lower()
-        for c in companies:
-            if c.lower() in ql or c.split()[0].lower() in ql:
+        qtokens = set(re.findall(r"[a-z0-9&]+", question.lower()))
+        # Full-name match first, most specific (most tokens) wins — "HDFC
+        # Life" must beat "HDFC Bank" for an HDFC Life question.
+        for c in sorted(companies, key=lambda c: -len(c.split())):
+            toks = [t.lower() for t in c.split()]
+            if all(t in qtokens for t in toks):
                 return c
+        # Distinctive-token match: a non-generic name token that exactly one
+        # company owns ("icici", "kotak"). Shared prefixes stay ambiguous.
+        owners: dict[str, set] = {}
+        for c in companies:
+            for t in set(c.lower().split()) - self._GENERIC_NAME_TOKENS:
+                owners.setdefault(t, set()).add(c)
+        for t, cs in owners.items():
+            if t in qtokens and len(cs) == 1:
+                return next(iter(cs))
         return self.default_company
 
     def _latest_fy_periods(self, question_filters: QueryFilters, scoped_periods):
@@ -162,9 +213,13 @@ class FilteredSearch:
             company = self._company_for(q, companies)
             scoped_periods = by_company.get(company, set()) if company else known_periods
             latest = self._latest_fy_periods(f, scoped_periods)
-            tiers: list[dict] = []
+            # Groups of tiers: tiers WITHIN a group are fetched together and
+            # merged by score (the typed tier must not gatekeep its untyped
+            # sibling); later GROUPS only top up missing slots.
+            groups: list[list[dict]] = []
+            scoped: list[dict] = []
             if f.chunk_type and self.use_type_hint:
-                tiers.append(
+                scoped.append(
                     dict(
                         periods=f.periods or latest or None,
                         chunk_type=f.chunk_type,
@@ -172,25 +227,44 @@ class FilteredSearch:
                     )
                 )
             if f.periods:
-                tiers.append(dict(periods=f.periods, company=company))
+                scoped.append(dict(periods=f.periods, company=company))
             elif latest:
-                tiers.append(dict(periods=latest, company=company))
+                scoped.append(dict(periods=latest, company=company))
+            if scoped:
+                groups.append(scoped)
             if company is not None:
-                tiers.append(dict(company=company))
-            tiers.append({})
+                groups.append([dict(company=company)])
+            groups.append([{}])
 
             hits: list = []
             seen: set = set()
-            for flt in tiers:
+            for group in groups:
                 if len(hits) >= top_k:
                     break
-                got = self.index.search_texts(
-                    [q], top_k=top_k, method=method, rerank=self.rerank, **flt
-                )[0]
-                for h in got:
-                    if h.record.id not in seen:
-                        seen.add(h.record.id)
-                        hits.append(h)
+                lists = [
+                    # Caller-supplied filters (**kwargs) compose with — and
+                    # override — the tier-derived ones.
+                    self.index.search_texts(
+                        [q], top_k=top_k, method=method,
+                        rerank=self.rerank, **{**flt, **kwargs},
+                    )[0]
+                    for flt in group
+                ]
+                # Tier order IS the ranking prior: typed hits precede the
+                # untyped sibling's. Under the lexical embedder the hint is
+                # more reliable than raw scores (score-ordered and
+                # top-hit-promotion merges both measured ~2.5 recall@3
+                # points WORSE on qa_subset — raw-score inversions like a
+                # key_ratios chunk outscoring the gold profitability chunk
+                # are exactly what the hint corrects). The sibling is still
+                # always fetched, so other-type golds can be demoted below
+                # the typed block (≤ top_k positions) but never dropped
+                # from the candidate list.
+                for l in lists:
+                    for h in l:
+                        if h.record.id not in seen:
+                            seen.add(h.record.id)
+                            hits.append(h)
             for rank, h in enumerate(hits[:top_k]):
                 h.rank = rank
             out.append(hits[:top_k])

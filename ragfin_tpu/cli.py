@@ -38,6 +38,12 @@ def cmd_build_index(args) -> int:
 
     chunks = build_corpus(args.data)
     index = DeviceVectorIndex.build(chunks)
+    if getattr(args, "index_type", "flat") == "ivf":
+        from .index.ivf_index import IVFVectorIndex
+
+        index = IVFVectorIndex.from_dense(
+            index, cell=args.cell, nprobe=args.nprobe
+        )
     index.save(args.out)
     graph = GraphIndex()
     for c in chunks:
@@ -117,7 +123,11 @@ def cmd_eval(args) -> int:
     # Evaluate the production retrieval pipeline (query filters + exact
     # rerank) — what VectorRAG serves; --raw ablates to bare embedding search.
     searcher = engine.vector_index
-    if not getattr(args, "raw", False) and getattr(searcher, "featurizer", None) is not None:
+    if (
+        not getattr(args, "raw", False)
+        and getattr(searcher, "featurizer", None) is not None
+        and getattr(searcher, "supports_filters", False)
+    ):
         from .retrieval.queryfilter import FilteredSearch
 
         searcher = FilteredSearch(searcher)
@@ -184,6 +194,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("build-index", help="chunk, embed, and persist the device index")
     p.add_argument("--data", default="extract_data")
     p.add_argument("--out", default=".ragfin_index")
+    p.add_argument("--index-type", choices=["flat", "ivf"], default="flat",
+                   help="flat = exact search; ivf = cluster-pruned (the reference's IVF_FLAT)")
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--cell", type=int, default=2048)
     p.set_defaults(fn=cmd_build_index)
 
     p = sub.add_parser("query", help="answer a question")

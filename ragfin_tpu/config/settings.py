@@ -53,6 +53,11 @@ class Settings:
     minilm_checkpoint: Optional[str] = None
     topk_method: str = "auto"  # "auto" | "dense" | "blocked" | "fused"
     index_dtype: str = "float32"  # "float32" | "bfloat16"
+    # "flat" = exact search (improves on the reference's IVF_FLAT recall);
+    # "ivf" = the reference's actual index type (cluster-pruned approximate,
+    # nlist/nprobe semantics — chunking_storing (1).py:29).
+    index_type: str = "flat"  # "flat" | "ivf"
+    ivf_nprobe: int = 32
 
     # Serving ports (reference registry, SURVEY.md §5)
     ports: dict = field(default_factory=lambda: dict(PORTS))
@@ -92,6 +97,10 @@ class Settings:
             issues.append(f"unknown embed_backend '{self.embed_backend}'")
         if self.embed_backend == "minilm" and not self.minilm_checkpoint:
             issues.append("embed_backend=minilm without minilm_checkpoint (random init)")
+        if self.index_type not in ("flat", "ivf"):
+            issues.append(f"unknown index_type '{self.index_type}'")
+        if self.ivf_nprobe < 1:
+            issues.append("ivf_nprobe must be >= 1")
         return issues
 
 
@@ -112,6 +121,8 @@ def _from_env() -> Settings:
         minilm_checkpoint=env.get("RAGFIN_MINILM_CHECKPOINT"),
         topk_method=env.get("RAGFIN_TOPK_METHOD", "auto"),
         index_dtype=env.get("RAGFIN_INDEX_DTYPE", "float32"),
+        index_type=env.get("RAGFIN_INDEX_TYPE", "flat"),
+        ivf_nprobe=int(env.get("RAGFIN_IVF_NPROBE", "32")),
         base_timeout_s=float(env.get("RAGFIN_TIMEOUT_S", "30")),
         batch_queries=env.get("RAGFIN_BATCH_QUERIES", "1") not in ("0", "false", "no"),
     )

@@ -48,6 +48,18 @@ class IVFVectorIndex:
         self.n = ivf.n_valid
         self.dim = ivf.cells.shape[1]
         self.embedder = None
+        self.featurizer = None
+        self.encoder = None
+
+    supports_filters = False  # filters defeat cluster pruning (see module doc)
+
+    @property
+    def quantized(self) -> bool:
+        return self.ivf.scales is not None
+
+    @property
+    def dtype(self):
+        return self.ivf.cells.dtype
 
     # --- build -----------------------------------------------------------
     @classmethod
@@ -72,6 +84,11 @@ class IVFVectorIndex:
         ivf = build_ivf(dense, cell=cell, iters=iters, seed=seed, quantize=quantize)
         out = cls(ivf, index.records, nprobe=nprobe, **kwargs)
         out.embedder = getattr(index, "embedder", None)
+        # The hashed backend encodes queries with featurizer+encoder, not an
+        # embedder object — carry both so search_texts works either way
+        # (same gap the round-1 advisor found on ShardedVectorIndex).
+        out.featurizer = getattr(index, "featurizer", None)
+        out.encoder = getattr(index, "encoder", None)
         return out
 
     @classmethod
@@ -116,9 +133,13 @@ class IVFVectorIndex:
     ):
         from .vector_index import SearchHit
 
-        if self.embedder is None:
+        if self.embedder is not None:
+            q = self.embedder.encode_texts(list(queries))
+        elif self.featurizer is not None and self.encoder is not None:
+            ids, wts = self.featurizer.encode_batch(list(queries))
+            q = self.encoder.encode(ids, wts)
+        else:
             raise ValueError("no embedder attached; use search_embeddings")
-        q = self.embedder.encode_texts(list(queries))
         scores, ids = self.search_embeddings(q, top_k=top_k, nprobe=nprobe)
         scores, ids = np.asarray(scores), np.asarray(ids)
         out = []
@@ -132,6 +153,12 @@ class IVFVectorIndex:
         return out
 
     # --- introspection ----------------------------------------------------
+    def get_by_ids(self, chunk_ids: Sequence[str]):
+        return [self.records[self._by_id[c]] for c in chunk_ids if c in self._by_id]
+
+    def __contains__(self, chunk_id: str) -> bool:
+        return chunk_id in self._by_id
+
     def __len__(self) -> int:
         return self.n
 
@@ -176,6 +203,10 @@ class IVFVectorIndex:
         if embedder is not None and hasattr(embedder, "state_dict"):
             if getattr(embedder, "backend", "hashed") == "hashed":
                 meta["hashed_embedder"] = embedder.state_dict()
+        if getattr(self, "featurizer", None) is not None:
+            meta["featurizer"] = self.featurizer.state_dict()
+        if getattr(self, "encoder", None) is not None:
+            meta["encoder"] = self.encoder.state_dict()
         with open(os.path.join(directory, "ivf.json"), "w") as f:
             json.dump(meta, f, ensure_ascii=False)
 
@@ -205,4 +236,12 @@ class IVFVectorIndex:
             from ..models.embedder import HashedEmbedder
 
             out.embedder = HashedEmbedder.from_state_dict(meta["hashed_embedder"])
+        if "featurizer" in meta:
+            from ..models.featurizer import HashedFeaturizer
+
+            out.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
+        if "encoder" in meta:
+            from ..models.bag_encoder import BagEncoder
+
+            out.encoder = BagEncoder.from_state_dict(meta["encoder"])
         return out

@@ -60,6 +60,14 @@ class SearchHit:
 class DeviceVectorIndex:
     """Packed [N, D] unit-norm embedding matrix + host metadata sidecar."""
 
+    # Accepts metadata-filter kwargs (periods/chunk_type/company/predicate/
+    # rerank) in search_texts — the capability FilteredSearch requires.
+    supports_filters = True
+
+    @property
+    def dtype(self):
+        return self.matrix_t.dtype
+
     def __init__(
         self,
         embeddings: np.ndarray | jax.Array,

@@ -153,6 +153,7 @@ def build_ivf(
     candidates: int = 16,
     seed: int = 0,
     quantize: bool = False,
+    free_source: bool = False,
 ) -> IVFIndex:
     """Cluster the corpus into balanced ``cell``-sized tiles.
 
@@ -194,11 +195,13 @@ def build_ivf(
         )
         return np.concatenate([assign_real, np.repeat(np.arange(n_cells), free)])
 
-    block_cols = min(65536, n_pad)
-    # Pad N to the scan block so the streamed passes see an integral grid
-    # (zero columns; they are excluded from assignments below).
-    scan_pad = -n_pad % block_cols
-    ct_scan = jnp.pad(corpus_t, ((0, 0), (0, scan_pad))) if scan_pad else corpus_t
+    # Pick the scan block as a whole number of cells that DIVIDES n_pad:
+    # a non-dividing block would need the corpus padded to the scan grid —
+    # a full second copy of the corpus (7.7 GB at 10M bf16, an HBM OOM).
+    div = max(k for k in range(1, min(32, n_cells) + 1) if n_cells % k == 0)
+    block_cols = div * cell
+    scan_pad = 0
+    ct_scan = corpus_t
 
     # Init from random real points (contiguous-chunk means of shuffled data
     # all collapse to the global mean and Lloyd never recovers structure).
@@ -234,19 +237,26 @@ def build_ivf(
     del ct_scan
 
     # Quantize BEFORE the permutation gather so the 10M-scale gather happens
-    # on the int8 copy (3.8 GB) instead of a second bf16/f32 copy.
+    # on the int8 copy (3.8 GB) instead of a second bf16/f32 copy. With
+    # ``free_source`` (caller holds no other reference to ``corpus_t``) the
+    # bf16/f32 source is dropped before the gather — at 10M the source +
+    # int8 copy + gathered copy would not fit 16 GB HBM together.
     perm_dev = jnp.asarray(perm)
     scales = None
     if quantize:
         from .quantize import quantize_corpus_t
 
         c8, sc = quantize_corpus_t(corpus_t)
+        if free_source:
+            del corpus_t
         c8 = jnp.take(c8, perm_dev, axis=1)
         sc = jnp.take(sc, perm_dev, axis=1)
         cells = jnp.transpose(jnp.reshape(c8, (d, n_cells, cell)), (1, 0, 2))
         scales = jnp.transpose(jnp.reshape(sc, (1, n_cells, cell)), (1, 0, 2))
     else:
         corpus_perm = jnp.take(corpus_t, perm_dev, axis=1)  # [D, N_pad]
+        if free_source:
+            del corpus_t
         cells = jnp.transpose(jnp.reshape(corpus_perm, (d, n_cells, cell)), (1, 0, 2))
 
     return IVFIndex(

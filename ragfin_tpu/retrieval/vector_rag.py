@@ -49,7 +49,11 @@ class VectorRAG:
         # (retrieval/queryfilter.py). Falls back to raw index search for
         # semantic (featurizer-less) backends where device scores are final.
         self._searcher = None
-        if smart_retrieval and getattr(index, "featurizer", None) is not None:
+        if (
+            smart_retrieval
+            and getattr(index, "featurizer", None) is not None
+            and getattr(index, "supports_filters", False)
+        ):
             from .queryfilter import FilteredSearch
 
             self._searcher = FilteredSearch(index)
@@ -65,7 +69,12 @@ class VectorRAG:
 
     def _search_one(self, query: str, top_k: int):
         if self.batcher is not None:
-            return self.batcher.search(query, top_k=top_k)
+            try:
+                return self.batcher.search(query, top_k=top_k)
+            except TimeoutError:
+                # First-compile on a degraded TPU tunnel can outlast the
+                # batcher window; a slow direct answer beats a dead query.
+                pass
         return self._search_texts([query], top_k)[0]
 
     @property

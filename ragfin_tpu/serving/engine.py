@@ -55,7 +55,8 @@ class RagFinEngine:
         logger.info(
             "engine ready: %d chunks indexed (dim=%d, %s), %d graph facts, provider=%s",
             self.vector_index.n, self.vector_index.dim,
-            "int8" if self.vector_index.quantized else str(self.vector_index.matrix_t.dtype),
+            "int8" if getattr(self.vector_index, "quantized", False)
+            else str(self.vector_index.dtype),
             self.graph.stats().get("total_facts", 0),
             getattr(self.provider, "model_name", None) or "offline",
         )
@@ -85,6 +86,13 @@ class RagFinEngine:
 
     def _build_or_load_index(self) -> DeviceVectorIndex:
         index_dir = self.settings.index_dir
+        if index_dir and os.path.exists(os.path.join(index_dir, "ivf.json")):
+            try:
+                from ..index.ivf_index import IVFVectorIndex
+
+                return IVFVectorIndex.load(index_dir)
+            except Exception:
+                pass
         if index_dir and os.path.exists(os.path.join(index_dir, "index.json")):
             try:
                 return DeviceVectorIndex.load(index_dir)
@@ -97,12 +105,20 @@ class RagFinEngine:
             embedder = make_embedder(
                 self.settings.embed_backend, checkpoint=self.settings.minilm_checkpoint
             )
-        return DeviceVectorIndex.build(
+        dense = DeviceVectorIndex.build(
             self.chunks,
             embedder=embedder,
             batch_size=1024,
             dtype="int8" if self.settings.index_dtype == "int8" else self.settings.index_dtype,
         )
+        if self.settings.index_type == "ivf":
+            # The reference's actual index type (Milvus IVF_FLAT): cluster
+            # the built matrix; metadata-filtered search stays on the exact
+            # tier, so VectorRAG drops to raw (unfiltered) search here.
+            from ..index.ivf_index import IVFVectorIndex
+
+            return IVFVectorIndex.from_dense(dense, nprobe=self.settings.ivf_nprobe)
+        return dense
 
     def warmup(self) -> None:
         """Pre-compile the common search shapes so first queries are fast

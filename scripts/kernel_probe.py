@@ -149,6 +149,13 @@ EXPERIMENTS = {
     "int8v7_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
     "tenmv7_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 64),
     "tenmv7_int8_bn8192_q64": ("int8", 8192, 64, 0, "invariant", 64),
+    # bq32: halve the merge pass width again at large Q (scores [32, 8192]
+    # = 1 MB f32); more grid steps but the corpus-major DMA is unchanged.
+    "int8v7bq32_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 32),
+    "bf16v7bq32_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 32),
+    "int8v7bq16_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 16),
+    # mask-extraction merge at the big config (fewer per-candidate passes).
+    "int8v7m_bn8192_q1024": ("int8", 8192, 1024, 0, "mask", 64),
     "bf16bigm_bn8192_q1024": ("bf16", 8192, 1024, 0, "mask", 64),
     "int8bigm_bn8192_q1024": ("int8", 8192, 1024, 0, "mask", 64),
 }
@@ -421,7 +428,9 @@ def ivf_probe(name: str) -> None:
 
     m = re.match(r"(tenm_)?ivf(\d+)(?:bq(\d+))?_(bf16|int8)_q(\d+)$", name)
     tenm, nprobe, bq, dtype, q = m.groups()
-    n = 10_000_000 if tenm else 1_000_000
+    # Cell-aligned N: a non-multiple would make build_ivf pad-copy the
+    # whole corpus (a second 7.7 GB buffer at 10M — HBM OOM).
+    n = 4883 * 2048 if tenm else 1_000_000
     nprobe, q, k = int(nprobe), int(q), 10
     bq = int(bq) if bq else 128
     _stage(f"start {name} N={n} backend={jax.default_backend()} device={_device_kind()}")
@@ -441,9 +450,6 @@ def ivf_probe(name: str) -> None:
     ct = gen(jax.random.PRNGKey(0))
     np.asarray(ct[0, 0])
     _stage("clustered corpus generated")
-    idx = build_ivf(ct, cell=2048, iters=3, quantize=(dtype == "int8"))
-    np.asarray(idx.centroids[0, 0])
-    _stage(f"ivf built: {idx.n_cells} cells")
 
     kq = jax.random.PRNGKey(5)
     picks = jax.random.randint(kq, (q,), 0, n)
@@ -451,9 +457,29 @@ def ivf_probe(name: str) -> None:
         jax.random.PRNGKey(6), (q, D), jnp.float32
     )
     qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    np.asarray(qs[0, 0])
 
-    # Recall oracle: exact fused top-k over the same corpus.
-    so, io = T.cosine_topk_fused(qs, ct, k, precision="fast")
+    if tenm:
+        # 10M: source (7.7 GB) + int8 cells cannot coexist with an extra
+        # gather copy — drop our reference and let build_ivf free it after
+        # quantization; the recall oracle is then exhaustive-nprobe IVF
+        # (== exact over the same corpus, tested in tests/test_ivf.py).
+        # Hand off the ONLY reference (list.pop) so build_ivf's internal
+        # `del` actually frees the source; a lingering local here would
+        # keep the 7.7 GB buffer alive through the gather.
+        holder = [ct]
+        ct = None
+        idx = build_ivf(holder.pop(), cell=2048, iters=3,
+                        quantize=(dtype == "int8"), free_source=True)
+        np.asarray(idx.centroids[0, 0])
+        _stage(f"ivf built: {idx.n_cells} cells; exhaustive oracle")
+        so, io = ivf_topk(qs, idx, k, nprobe=idx.n_cells, block_q=bq)
+    else:
+        idx = build_ivf(ct, cell=2048, iters=3, quantize=(dtype == "int8"))
+        np.asarray(idx.centroids[0, 0])
+        _stage(f"ivf built: {idx.n_cells} cells")
+        # Recall oracle: exact fused top-k over the same corpus.
+        so, io = T.cosine_topk_fused(qs, ct, k, precision="fast")
     si, ii = ivf_topk(qs, idx, k, nprobe=nprobe, block_q=bq)
     io_np, ii_np = np.asarray(io), np.asarray(ii)
     recall = np.mean(

@@ -169,3 +169,58 @@ class TestSearch:
         s, i = ivf_topk(jnp.asarray(q[:5]), idx, k=3, nprobe=3, block_q=8)
         assert s.shape == (5, 3) and i.shape == (5, 3)
         assert int(np.max(np.asarray(i))) < 2000  # never a pad id
+
+
+class TestEngineIntegration:
+    def test_engine_serves_ivf_index(self, reference_root):
+        """RAGFIN_INDEX_TYPE=ivf: the engine builds an IVFVectorIndex (the
+        reference's IVF_FLAT semantics) and the vector path serves queries
+        through it — text encoding via the carried featurizer/encoder."""
+        from ragfin_tpu.config.settings import Settings
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+        from ragfin_tpu.serving.engine import RagFinEngine
+
+        settings = Settings(
+            default_model="fake",
+            data_dir=f"{reference_root}/extract_data",
+            index_dir="",
+            index_type="ivf",
+            ivf_nprobe=1,  # 16 chunks -> a single cell
+        )
+        engine = RagFinEngine(settings)
+        assert isinstance(engine.vector_index, IVFVectorIndex)
+        hits = engine.vector_index.search_texts(["net profit growth"], top_k=3)[0]
+        assert hits and hits[0].record.chunk_type == "profitability_analysis"
+        # VectorRAG must drop to raw search (no filter kwargs on IVF).
+        assert engine.vector_rag._searcher is None
+        import asyncio
+
+        out = asyncio.run(
+            engine.vector_rag.search_and_answer(
+                "What was the net profit in Q1 FY2024?", 3
+            )
+        )
+        assert out.get("contexts"), out
+
+    def test_cli_build_ivf_and_query(self, reference_root, tmp_path, capsys):
+        from ragfin_tpu.cli import main
+
+        idx = tmp_path / "ivfidx"
+        rc = main([
+            "build-index", "--data", f"{reference_root}/extract_data",
+            "--out", str(idx), "--index-type", "ivf", "--nprobe", "1",
+        ])
+        assert rc == 0
+        assert (idx / "ivf.json").exists()
+        capsys.readouterr()
+        rc = main([
+            "query", "What was ICICI Bank's net profit in Q1 FY2024?",
+            "--mode", "vector", "--data", f"{reference_root}/extract_data",
+            "--index", str(idx),
+        ])
+        assert rc == 0
+        import json
+
+        out = json.loads(capsys.readouterr().out)
+        ids = [c["id"] for c in out["contexts"]]
+        assert "icici_q1_fy2024_profitability_analysis" in ids

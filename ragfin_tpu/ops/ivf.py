@@ -72,27 +72,42 @@ class IVFIndex(NamedTuple):
 
 
 def _balanced_assign(scores_top: np.ndarray, cand: np.ndarray, capacity: np.ndarray) -> np.ndarray:
-    """Greedy capacity-constrained assignment (host, build-time).
+    """Capacity-constrained assignment (host, build-time), fully vectorized.
 
     ``cand [N, c]`` are each point's best-scoring candidate cells (descending),
     ``scores_top [N, c]`` the matching scores, ``capacity [n_cells]`` the free
-    slots per cell (sum must be >= N). Points are processed in descending
-    best-score order; each takes its best candidate with free capacity,
-    overflow points fill remaining slots arbitrarily (boundary points — the
-    recall cost is what ``nprobe`` exists to absorb)."""
-    n = cand.shape[0]
+    slots per cell (sum must be >= N). Candidate ranks are processed left to
+    right; within a rank, points claim their cell's free slots in descending
+    best-score priority. Overflow past the candidate list fills remaining
+    slots arbitrarily (boundary points — the recall cost ``nprobe`` absorbs).
+
+    A per-point sequential greedy (try rank 0, then 1, ...) is O(N) Python
+    at 10M points — minutes per Lloyd iteration; the rank-pass formulation
+    is a handful of argsorts and gives first-choice claims global priority
+    over later-rank claims (at least as local as the sequential order)."""
+    n, c = cand.shape
+    n_cells = capacity.shape[0]
     capacity = capacity.copy()
     assign = np.full(n, -1, np.int64)
+    # Priority = descending best score; stable sorts keep it within groups.
     order = np.argsort(-scores_top[:, 0], kind="stable")
-    for p in order:
-        for c in cand[p]:
-            if capacity[c] > 0:
-                capacity[c] -= 1
-                assign[p] = c
-                break
+    for r in range(c):
+        un = order[assign[order] < 0]
+        if un.size == 0:
+            break
+        cells = cand[un, r].astype(np.int64)
+        by_cell = np.argsort(cells, kind="stable")
+        sorted_cells = cells[by_cell]
+        # Rank of each point within its cell's claimants (priority order).
+        group_start = np.searchsorted(sorted_cells, sorted_cells, side="left")
+        rank_in_group = np.arange(sorted_cells.size) - group_start
+        ok = rank_in_group < capacity[sorted_cells]
+        chosen = un[by_cell[ok]]
+        assign[chosen] = sorted_cells[ok]
+        capacity -= np.bincount(sorted_cells[ok], minlength=n_cells)
     unplaced = np.flatnonzero(assign < 0)
     if unplaced.size:
-        free = np.repeat(np.arange(capacity.shape[0]), capacity)
+        free = np.repeat(np.arange(n_cells), capacity)
         assign[unplaced] = free[: unplaced.size]
     return assign
 

@@ -359,7 +359,9 @@ def _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int
     n = scores.shape[-1]
     kth = acc_s[rows][:, k - 1]
     for s0 in range(0, n, slice_n):
-        sl = jax.lax.slice_in_dim(scores, s0, s0 + slice_n, axis=1)
+        # Clamp the final slice: slice_in_dim rejects limits past the edge,
+        # so a non-divisor slice_n would crash at trace time.
+        sl = jax.lax.slice_in_dim(scores, s0, min(s0 + slice_n, n), axis=1)
         m = jnp.max(sl, axis=-1)
 
         @pl.when(jnp.any(m > kth))

@@ -195,7 +195,19 @@ class ShardedVectorIndex:
         if pad:
             embeddings = jnp.pad(embeddings, ((0, pad), (0, 0)))
         sharding = NamedSharding(self.mesh, P(None, self.axis))
-        self.matrix_t = jax.device_put(jnp.asarray(embeddings.T, dtype=dtype), sharding)
+        self.quantized = str(dtype) in ("int8", "jnp.int8") or dtype == jnp.int8
+        if self.quantized:
+            # Mirror DeviceVectorIndex: dtype="int8" means QUANTIZE — a raw
+            # astype of unit-norm f32 would truncate every value to 0 and
+            # silently return arbitrary ids at score 0.0.
+            from ..ops.quantize import quantize_corpus_t
+
+            c8, sc = quantize_corpus_t(jnp.asarray(embeddings.T))
+            self.matrix_t = jax.device_put(c8, sharding)
+            self.scales = jax.device_put(sc, sharding)
+        else:
+            self.matrix_t = jax.device_put(jnp.asarray(embeddings.T, dtype=dtype), sharding)
+            self.scales = None
         self.records = list(records)
         self._by_id = {r.id: i for i, r in enumerate(self.records)}
         # Query-encoding backends; populated by from_dense() or assignable.
@@ -228,7 +240,8 @@ class ShardedVectorIndex:
         q = jnp.asarray(query_embeddings, jnp.float32)
         k = min(top_k, max(self.n, 1))
         return sharded_cosine_topk(
-            self.mesh, self.axis, q, self.matrix_t, k, n_valid=self.n, method=method
+            self.mesh, self.axis, q, self.matrix_t, k, n_valid=self.n,
+            method=method, scales=self.scales,
         )
 
     def search_texts(self, queries, top_k: int = 3, method: str = "auto"):

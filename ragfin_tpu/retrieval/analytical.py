@@ -115,7 +115,7 @@ def parse_chunk(record: IndexedChunk, data: QuarterData) -> None:
             seg: dict = {}
             _apply(_SEGMENT_FIELDS, parts[i + 1], seg)
             if seg:
-                data.segments[name.replace(" banking", " banking")] = seg
+                data.segments[name] = seg
     data.source_ids.append(record.id)
 
 
@@ -218,8 +218,9 @@ class AnalyticalAnswerer:
     arithmetic the reference would have asked Gemini to do.
     """
 
-    def __init__(self, records: Sequence[IndexedChunk]):
+    def __init__(self, records: Sequence[IndexedChunk], company: Optional[str] = "ICICI Bank"):
         self.records = list(records)
+        self.company = company
         self._data: Optional[dict[str, QuarterData]] = None
 
     # --- corpus parsing ----------------------------------------------------
@@ -228,6 +229,11 @@ class AnalyticalAnswerer:
         if self._data is None:
             out: dict[str, QuarterData] = {}
             for r in self.records:
+                # Single-tenant parsing: in a multi-company corpus another
+                # company's chunk for the same quarter would overwrite the
+                # scoped company's figures — confidently wrong answers.
+                if self.company and getattr(r, "company", self.company) != self.company:
+                    continue
                 qd = out.setdefault(r.period, QuarterData(r.period))
                 parse_chunk(r, qd)
             self._data = out
@@ -242,26 +248,39 @@ class AnalyticalAnswerer:
 
     # --- question parsing ----------------------------------------------------
     def _quarters_in_question(self, q: str) -> list[str]:
+        """Resolve the question's quarters against the corpus.
+
+        Period grammar is shared with the retrieval filters
+        (:func:`ragfin_tpu.retrieval.queryfilter.extract_filters`), so
+        multi-year comparisons keep each quarter paired with ITS year."""
+        from .queryfilter import extract_filters
+
         ql = q.lower()
-        fy = re.search(r"fy\s?(\d{4})", ql)
         years = {p.split("_FY")[1] for p in self.data}
-        if fy is not None and fy.group(1) not in years:
-            # The question names a fiscal year the corpus doesn't cover;
-            # answering from another year's data would be silently wrong.
-            raise _UncoveredPeriod(f"FY{fy.group(1)}", sorted(years))
-        year = fy.group(1) if fy else (sorted(years)[-1] if years else "2024")
-        qnums = re.findall(r"\bq([1-4])\b", ql)
-        periods = []
-        for n in qnums:
-            p = f"Q{n}_FY{year}"
-            if p in self.data and p not in periods:
-                periods.append(p)
-        if not periods or any(w in ql for w in _ALL_QUARTER_WORDS):
-            if len(periods) < 2:
-                periods = self._chronological(
-                    [p for p in self.data if p.endswith(f"FY{year}")] or list(self.data)
-                )
-        return periods
+        for y in re.findall(r"fy\s?(\d{4})", ql):
+            if y not in years:
+                # The question names a fiscal year the corpus doesn't cover;
+                # answering from another year's data would be silently wrong.
+                raise _UncoveredPeriod(f"FY{y}", sorted(years))
+        periods = [
+            p for p in extract_filters(q, list(self.data)).periods if p in self.data
+        ]
+        if not periods:
+            # Bare quarters (or none) with no year named: the scoped
+            # company's latest year on record, matching FilteredSearch's
+            # implicit temporal scope.
+            year = sorted(years)[-1] if years else "2024"
+            for n in re.findall(r"\bq([1-4])\b", ql):
+                p = f"Q{n}_FY{year}"
+                if p in self.data and p not in periods:
+                    periods.append(p)
+            if not periods or any(w in ql for w in _ALL_QUARTER_WORDS):
+                if len(periods) < 2:
+                    periods = [p for p in self.data if p.endswith(f"FY{year}")]
+        elif any(w in ql for w in _ALL_QUARTER_WORDS) and len(periods) < 2:
+            yearset = {p.split("_FY")[1] for p in periods}
+            periods = [p for p in self.data if p.split("_FY")[1] in yearset]
+        return self._chronological(dict.fromkeys(periods))
 
     def _metric_in_question(self, q: str):
         ql = q.lower()
@@ -387,15 +406,21 @@ class AnalyticalAnswerer:
     def _compare_segments(self, segments, periods, q) -> Optional[str]:
         fieldname, kind, label = self._segment_field(q)
         s1, s2 = segments[0], segments[1]
-        if len(periods) >= 2 and kind == "cur":
-            # growth comparison between first and last mentioned quarter
+        if len(periods) >= 2:
+            # change comparison between first and last mentioned quarter —
+            # growth% for currency fields, pp delta for percentage fields
+            # (margins over a range must not silently collapse to one
+            # period's snapshot).
             p0, p1 = periods[0], periods[-1]
             parts = []
             for s in (s1, s2):
                 a, b = self._get(p0, fieldname, s), self._get(p1, fieldname, s)
                 if a is None or b is None:
                     return None
-                parts.append(f"{s} grew {_pct_change(a, b):+.2f}% ({_fmt(a, kind)} to {_fmt(b, kind)})")
+                if kind == "pct":
+                    parts.append(f"{s} {label} moved {b - a:+.1f}pp ({a:.1f}% to {b:.1f}%)")
+                else:
+                    parts.append(f"{s} grew {_pct_change(a, b):+.2f}% ({_fmt(a, kind)} to {_fmt(b, kind)})")
             return (
                 f"From {_pretty_period(p0)} to {_pretty_period(p1)}: "
                 + " vs ".join(parts) + "."
@@ -439,7 +464,19 @@ class AnalyticalAnswerer:
         unit = " percentage point" if kind == "pct" else ""
         return (
             f"The {name} segment showed the most volatile {label}, ranging from "
-            f"{_fmt(lo, kind)} to {_fmt(hi, kind)} (a {hi - lo:.1f}{unit} range)."
+            f"{_fmt(lo, kind)} to {_fmt(hi, kind)} (a range of {_fmt(hi - lo, kind)}{unit})."
+        )
+
+    def _metric_volatility(self, periods, fieldname, kind, label) -> Optional[str]:
+        series = self._series(periods, fieldname)
+        if len(series) < 2:
+            return None
+        lo = min(series, key=lambda t: t[1])
+        hi = max(series, key=lambda t: t[1])
+        return (
+            f"{label.capitalize()} ranged from {_fmt(lo[1], kind)} in "
+            f"{_pretty_period(lo[0])} to {_fmt(hi[1], kind)} in "
+            f"{_pretty_period(hi[0])} — a spread of {_fmt(hi[1] - lo[1], kind)}."
         )
 
     def _improvements(self, periods, q) -> Optional[str]:
@@ -484,7 +521,13 @@ class AnalyticalAnswerer:
         minimum = any(w in ql for w in _MIN_WORDS)
         extremum = any(w in ql for w in _EXTREMUM_WORDS)
         want_avg = "average" in ql
-        all_q = self._chronological(self.data)
+        # Scan scope for extremum/volatility: every quarter of the
+        # question's year(s) — NOT every year in a multi-year corpus
+        # (FilteredSearch's latest-FY scoping applies here too).
+        yearset = {p.split("_FY")[1] for p in periods}
+        all_q = self._chronological(
+            p for p in self.data if p.split("_FY")[1] in yearset
+        )
 
         answer: Optional[str] = None
         used_periods = periods
@@ -493,7 +536,13 @@ class AnalyticalAnswerer:
             answer = self._ranking(periods[-1])
         elif "volatile" in ql or "volatility" in ql:
             used_periods = all_q
-            answer = self._volatility(all_q, question)
+            if segments or "segment" in ql or metric is None:
+                answer = self._volatility(all_q, question)
+            else:
+                # A plain metric named with "volatile" is about THAT metric,
+                # not segment revenue.
+                fieldname, kind, label, _ct = metric
+                answer = self._metric_volatility(all_q, fieldname, kind, label)
         elif ("which segments" in ql or "what segments" in ql) and (
             "improvement" in ql or "improved" in ql
         ):

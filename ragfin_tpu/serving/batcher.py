@@ -103,23 +103,52 @@ class QueryBatcher:
                 break
         return batch
 
+    @staticmethod
+    def _resolve(item: _WorkItem, hits=None, exc: Optional[Exception] = None) -> None:
+        """Resolve a future tolerating concurrent Future.cancel(): the
+        cancelled()-then-set sequence is not atomic, and an unhandled
+        InvalidStateError would kill the collector thread permanently
+        (every later search() would then block to its full timeout)."""
+        if not item.future.set_running_or_notify_cancel():
+            return  # caller cancelled; nothing to deliver
+        try:
+            if exc is not None:
+                item.future.set_exception(exc)
+            else:
+                item.future.set_result(hits)
+        except Exception:  # racing cancel between the check and the set
+            pass
+
     def _loop(self) -> None:
         while not self._stop.is_set():
-            batch = self._drain()
-            if not batch:
-                continue
-            METRICS.incr("batcher.batches")
-            METRICS.incr("batcher.queries", len(batch))
-            METRICS.observe_latency("batcher.batch_size", len(batch))
-            k = max(item.top_k for item in batch)
             try:
-                with METRICS.timed("batcher.dispatch"):
-                    results = self.search_batch_fn([i.query for i in batch], k)
-            except Exception as e:
-                for item in batch:
-                    if not item.future.cancelled():
-                        item.future.set_exception(e)
-                continue
-            for item, hits in zip(batch, results):
-                if not item.future.cancelled():
-                    item.future.set_result(hits[: item.top_k])
+                batch = self._drain()
+                if not batch:
+                    continue
+                METRICS.incr("batcher.batches")
+                METRICS.incr("batcher.queries", len(batch))
+                METRICS.observe_latency("batcher.batch_size", len(batch))
+                k = max(item.top_k for item in batch)
+                try:
+                    with METRICS.timed("batcher.dispatch"):
+                        results = self.search_batch_fn([i.query for i in batch], k)
+                    if len(results) != len(batch):
+                        raise RuntimeError(
+                            f"search_batch_fn returned {len(results)} results "
+                            f"for {len(batch)} queries"
+                        )
+                except Exception as e:
+                    for item in batch:
+                        self._resolve(item, exc=e)
+                    continue
+                for item, hits in zip(batch, results):
+                    self._resolve(item, hits[: item.top_k])
+            except Exception:  # the collector must survive anything
+                METRICS.incr("batcher.loop_errors")
+        # Drain leftovers on shutdown so no caller hangs to its timeout.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._resolve(item, exc=RuntimeError("batcher stopped"))

@@ -278,7 +278,7 @@ def normalize_company_name(raw: str) -> str:
     return cleaned or "Unknown Bank"
 
 
-def infer_period_from_structured(data: dict) -> str:
+def infer_period_from_structured(data: dict) -> Optional[str]:
     """Infer Q#_FY#### from period keys like ``march2024`` (reference :241-263)."""
     month_to_quarter = {"june": "Q1", "september": "Q2", "december": "Q3", "march": "Q4"}
 
@@ -295,7 +295,11 @@ def infer_period_from_structured(data: dict) -> str:
                     return found
         return None
 
-    return scan(data.get("periods", {})) or scan(data.get("financialResults", {})) or "FY2024"
+    # No fallback pseudo-quarter: "FY2024" would pass the builder's
+    # `if not entities.quarter` check and create facts no Q#_FY#### query
+    # can ever reach — returning None lets the builder count the chunk as
+    # failed (the failure-accounting contract).
+    return scan(data.get("periods", {})) or scan(data.get("financialResults", {}))
 
 
 def convert_structured_to_entities(structured: dict) -> tuple[ExtractedEntities, str]:

@@ -128,19 +128,19 @@ def lexical_question_entities(question: str) -> list[dict[str, str]]:
     if mentions_all_segments and not any(e["type"] == "Segment" for e in entities):
         for name in FINANCIAL_ENTITY_TYPES["business_segments"]:
             add(name, "Segment")
-    # Longest-alias-first so "operating profit" wins over "profit".
-    for alias, name in sorted(_METRIC_ALIASES.items(), key=lambda kv: -len(kv[0])):
-        if alias in q:
-            add(name, "Metric")
-            break
-    for alias, name in sorted(_RATIO_ALIASES.items(), key=lambda kv: -len(kv[0])):
-        if alias in q:
-            add(name, "Ratio")
-            break
-    for alias, name in sorted(_BALANCE_ALIASES.items(), key=lambda kv: -len(kv[0])):
-        if alias in q:
-            add(name, "BalanceSheetItem")
-            break
+    # Longest-alias-first so "operating profit" wins over "profit"; matched
+    # spans suppress their substrings but NOT co-mentioned entities ("interest
+    # income and other income" must yield both metrics).
+    def add_all(aliases: dict, etype: str) -> None:
+        matched_spans: list[str] = []
+        for alias, name in sorted(aliases.items(), key=lambda kv: -len(kv[0])):
+            if alias in q and not any(alias in span for span in matched_spans):
+                add(name, etype)
+                matched_spans.append(alias)
+
+    add_all(_METRIC_ALIASES, "Metric")
+    add_all(_RATIO_ALIASES, "Ratio")
+    add_all(_BALANCE_ALIASES, "BalanceSheetItem")
     if _ALL_QUARTERS.search(q) and not any(e["type"] == "Quarter" for e in entities):
         for period in SUPPORTED_QUARTERS:
             add(period, "Quarter")
@@ -314,10 +314,14 @@ class GraphQueryEngine:
         self.provider = provider
 
     def fallback_plan(self, limit: int) -> dict:
-        """Reference fallback: latest metrics (graph_service.py:249-256)."""
+        """Reference fallback: LATEST-quarter metrics (graph_service.py:249-256).
+
+        The latest quarter must be the match FILTER — an unfiltered match
+        truncates at ``limit`` in chronological CSR order and would return
+        the OLDEST quarters' metrics despite the quarter_desc sort."""
         quarters = sorted(self.graph.quarters, key=_period_key, reverse=True)[:1]
-        return {"quarters": [], "names": [], "types": ["metrics"], "limit": limit,
-                "order": "quarter_desc", "_fallback": True, "_latest": quarters}
+        return {"quarters": quarters, "names": [], "types": ["metrics"],
+                "limit": limit, "order": "quarter_desc", "_fallback": True}
 
     def _execute(self, plan: dict) -> list[dict]:
         compare = plan.get("compare")
@@ -417,7 +421,16 @@ class GraphBuilder:
         return getattr(self.extractor, "current_model", "rule-based")
 
     def switch_extraction_model(self, model_name: str, api_key: Optional[str] = None) -> None:
-        self.extractor.switch_model(model_name, api_key)
+        from ..extraction.service import EntityExtractor, RuleBasedExtractor
+
+        if isinstance(self.extractor, RuleBasedExtractor):
+            # RuleBasedExtractor.switch_model is a no-op (it has no LLM);
+            # switching TO a real model must replace the extractor, or the
+            # endpoint would report success while extraction stays
+            # rule-based.
+            self.extractor = EntityExtractor(model_name, api_key)
+        else:
+            self.extractor.switch_model(model_name, api_key)
 
     async def build(
         self,

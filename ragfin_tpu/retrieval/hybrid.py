@@ -66,8 +66,17 @@ class HybridRAG:
         graph_rows = [self.vector_index._by_id[c] for c in graph_chunk_ids]
 
         # 3. On-device fusion: vector first, graph-only appended at 1.0.
-        kv = max(len(vec_rows), 1)
-        g = max(len(graph_rows), 1)
+        # Pad to power-of-two buckets: fuse_results is jitted per SHAPE, so
+        # a raw per-question length would compile once for every distinct
+        # hit count (~2s each through the remote-compile tunnel).
+        def _bucket(n: int) -> int:
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        kv = _bucket(max(len(vec_rows), 1))
+        g = _bucket(max(len(graph_rows), 1))
         vec_arr = np.full((1, kv), -1, np.int32)
         vec_arr[0, : len(vec_rows)] = vec_rows
         graph_arr = np.full((g,), -1, np.int32)

@@ -26,6 +26,7 @@ import asyncio
 import inspect
 import json
 import threading
+import typing
 import uuid
 from typing import Any, Callable, Optional
 
@@ -77,12 +78,26 @@ class MCPToolServer:
         def register(func):
             tool_name = name or func.__name__
             sig = inspect.signature(func)
+            # PEP 563 (`from __future__ import annotations`) makes
+            # param.annotation a STRING — resolve to real types or every
+            # parameter would be advertised as "string" and schema-driven
+            # clients would send mistyped arguments.
+            try:
+                hints = typing.get_type_hints(func)
+            except Exception:
+                hints = {}
             properties = {}
             required = []
             for pname, param in sig.parameters.items():
-                ann = param.annotation
+                ann = hints.get(pname, param.annotation)
+                if typing.get_origin(ann) is typing.Union:
+                    # Optional[T] -> T for the schema type.
+                    non_none = [a for a in typing.get_args(ann) if a is not type(None)]
+                    if len(non_none) == 1:
+                        ann = non_none[0]
+                origin = typing.get_origin(ann) or ann
                 jtype = {int: "integer", float: "number", bool: "boolean", str: "string",
-                         list: "array", dict: "object"}.get(ann, "string")
+                         list: "array", dict: "object"}.get(origin, "string")
                 properties[pname] = {"type": jtype}
                 if param.default is inspect.Parameter.empty:
                     required.append(pname)
@@ -130,15 +145,17 @@ class MCPToolServer:
                     {"jsonrpc": "2.0", "id": msg_id,
                      "error": {"code": -32602, "message": f"unknown tool {name}"}}
                 )
+            is_error = False
             try:
                 out = tool["fn"](**arguments)
                 if asyncio.iscoroutine(out):
                     out = run_tool_coroutine(out)
             except Exception as e:
                 out = {"success": False, "error": str(e)}
+                is_error = True  # spec clients detect failure via isError
             content = [{"type": "text", "text": json.dumps(out, ensure_ascii=False, default=str)}]
             return Response.sse(
-                {"jsonrpc": "2.0", "id": msg_id, "result": {"content": content, "isError": False}}
+                {"jsonrpc": "2.0", "id": msg_id, "result": {"content": content, "isError": is_error}}
             )
         return Response.sse(
             {"jsonrpc": "2.0", "id": msg_id, "error": {"code": -32601, "message": f"unknown method {method}"}}

@@ -19,7 +19,6 @@ Four apps with the reference's endpoint surfaces:
 
 from __future__ import annotations
 
-import asyncio
 import time
 from typing import Optional
 
@@ -27,6 +26,7 @@ from ..config.constants import SUPPORTED_MODELS
 from ..data.models import FinancialChunk, GraphQueryRequest
 from .engine import RagFinEngine, get_engine
 from .httpd import HTTPError, JsonApp, Request
+from .mcp import run_tool_coroutine
 from .mcp_client import MCPClient
 
 
@@ -59,7 +59,7 @@ def build_entity_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
     def extract(request: Request):
         chunk = _chunk_from((request.json or {}).get("chunk", request.json))
         t0 = time.perf_counter()
-        entities = asyncio.run(engine.graph_builder.extractor.extract(chunk))
+        entities = run_tool_coroutine(engine.graph_builder.extractor.extract(chunk))
         return {
             "success": True,
             "chunk_id": chunk.id,
@@ -74,7 +74,7 @@ def build_entity_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
         chunks = [(c, _chunk_from(c)) for c in (request.json or {}).get("chunks", [])]
         results = []
         for raw, chunk in chunks:
-            entities = asyncio.run(engine.graph_builder.extractor.extract(chunk))
+            entities = run_tool_coroutine(engine.graph_builder.extractor.extract(chunk))
             results.append(
                 {"chunk_id": chunk.id, "entities": entities.model_dump(), "entity_count": entities.total_count()}
             )
@@ -123,7 +123,7 @@ def build_graph_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
     def build(request: Request):
         payload = request.json or {}
         chunks = payload.get("chunks", [])
-        result = asyncio.run(
+        result = run_tool_coroutine(
             engine.graph_builder.build(
                 chunks,
                 dataset_id=payload.get("dataset_id", "icici_fy2024"),
@@ -146,7 +146,7 @@ def build_graph_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
         except Exception as e:
             raise HTTPError(422, str(e))
         t0 = time.perf_counter()
-        out = asyncio.run(engine.graph_builder.query_engine.query(req.question, req.limit))
+        out = run_tool_coroutine(engine.graph_builder.query_engine.query(req.question, req.limit))
         return {
             "success": True,
             "question": req.question,

@@ -171,4 +171,7 @@ class TestStructuredConverter:
     def test_period_inference(self):
         assert infer_period_from_structured({"periods": {"yearEnded": {"march2024": {}}}}) == "Q4_FY2024"
         assert infer_period_from_structured({"periods": {"quarter": {"september2023": {}}}}) == "Q2_FY2024"
-        assert infer_period_from_structured({}) == "FY2024"
+        # No fallback pseudo-quarter: an unparseable period must fail the
+        # chunk (a "FY2024" tag would create facts no Q#_FY#### query
+        # reaches) — see service.infer_period_from_structured.
+        assert infer_period_from_structured({}) is None

@@ -114,22 +114,30 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
         hexes = _HEX_RE.findall(section)
         for src, dst in zip(hexes[0::2], hexes[1::2]):
             mapping[int(src, 16)] = uni(dst)
+    # Rows are <lo> <hi> <dst> OR <lo> <hi> [<d1> <d2> ...] — the array
+    # form must be parsed structurally: flattening all hex tokens and
+    # striding by 3 would desync on the first array row and corrupt every
+    # range after it (silently vanishing characters).
+    row_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+        rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\])"
+    )
     for section in _BFRANGE_RE.findall(cmap):
-        tokens = _HEX_RE.findall(section)
-        i = 0
-        while i + 2 < len(tokens) + 1:
-            # bfrange rows: <lo> <hi> <dst>  (array-dst rows are rare; skipped)
-            if i + 3 > len(tokens):
-                break
-            lo, hi, dst = tokens[i], tokens[i + 1], tokens[i + 2]
-            lo_i, hi_i, dst_i = int(lo, 16), int(hi, 16), int(dst, 16)
-            if hi_i - lo_i <= 0xFFFF:
+        for m in row_re.finditer(section):
+            lo_i, hi_i = int(m.group(1), 16), int(m.group(2), 16)
+            if hi_i - lo_i > 0xFFFF:
+                continue
+            if m.group(3) is not None:
+                dst_i = int(m.group(3), 16)
                 for code in range(lo_i, hi_i + 1):
                     try:
                         mapping[code] = chr(dst_i + (code - lo_i))
                     except ValueError:
                         pass
-            i += 3
+            else:
+                dsts = _HEX_RE.findall(m.group(4))
+                for code, dst in zip(range(lo_i, hi_i + 1), dsts):
+                    mapping[code] = uni(dst)
     return mapping
 
 
@@ -282,7 +290,11 @@ def resource_font_map(objects: dict[int, bytes], fonts: dict[int, Font]) -> dict
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)"  # literal string
+    # Literal string, allowing ONE level of unescaped balanced parens —
+    # legal per the PDF spec and ubiquitous in filings ("Profit/(Loss)");
+    # without the inner alternative the match stops at the nested '(' and
+    # the label extracts garbled.
+    rb"\((?:\\.|\((?:\\.|[^\\()])*\)|[^\\()])*\)"  # literal string
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
     rb"|\[|\]"
     rb"|/[^\s/\[\]()<>]+"

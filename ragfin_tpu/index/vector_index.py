@@ -104,6 +104,12 @@ class DeviceVectorIndex:
         self.records: list[IndexedChunk] = list(records)
         self._by_id = {r.id: i for i, r in enumerate(self.records)}
         self.name = name
+        # Query-encoding backends; populated by build()/load() or assignable.
+        # Initialized here so a directly-constructed index fails search_texts
+        # with a clear "no embedder attached" instead of AttributeError.
+        self.embedder = None
+        self.featurizer = None
+        self.encoder = None
 
     # --- build -----------------------------------------------------------
     @classmethod
@@ -264,9 +270,14 @@ class DeviceVectorIndex:
         embedder = getattr(self, "embedder", None)
         if embedder is not None:
             q = embedder.encode_texts(list(queries))
-        else:
+        elif self.featurizer is not None and self.encoder is not None:
             ids, wts = self.featurizer.encode_batch(list(queries))
             q = self.encoder.encode(ids, wts)
+        else:
+            raise ValueError(
+                "no embedder attached to this index; use search_embeddings "
+                "or construct via DeviceVectorIndex.build/load"
+            )
         fetch_k = max(top_k, rerank)
         mask = self._filter_mask(
             period, chunk_type, predicate, periods=periods, company=company
@@ -409,6 +420,10 @@ class DeviceVectorIndex:
             "name": self.name,
             "n": self.n,
             "dim": self.dim,
+            # Matrix is persisted dequantized f32; record the serving dtype
+            # so load() reconstructs the same tier (an int8 index must not
+            # silently round-trip to a 4x-bigger f32 one).
+            "dtype": "int8" if self.quantized else str(self.matrix_t.dtype),
             "records": [r.model_dump() for r in self.records],
         }
         if getattr(self, "featurizer", None) is not None:
@@ -433,6 +448,8 @@ class DeviceVectorIndex:
         else:
             matrix = np.load(os.path.join(directory, "matrix.npz"))["matrix"]
         records = [IndexedChunk(**r) for r in meta["records"]]
+        if "dtype" not in kwargs and "dtype" in meta:
+            kwargs["dtype"] = meta["dtype"]
         index = cls(matrix, records, name=meta.get("name", DEFAULT_COLLECTION), **kwargs)
         if "featurizer" in meta:
             index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])

@@ -32,17 +32,28 @@ class ProviderError(RuntimeError):
 
 
 class RateLimiter:
-    """Min-interval limiter (reference semantics: sleep the remainder)."""
+    """Min-interval limiter (reference semantics: sleep the remainder).
+
+    Serialized with an asyncio.Lock: without it, N concurrent tasks all
+    read the same ``last_call``, sleep the same remainder, and fire
+    simultaneously — exactly the burst the limiter exists to prevent.
+    Sleeping INSIDE the lock is intentional (waiters queue up and release
+    ``delay`` apart). The lock is created lazily so the limiter can be
+    constructed outside any event loop."""
 
     def __init__(self, delay: float = 4.0):
         self.delay = delay
         self.last_call = 0.0
+        self._lock: Optional[asyncio.Lock] = None
 
     async def wait(self) -> None:
-        elapsed = time.time() - self.last_call
-        if elapsed < self.delay:
-            await asyncio.sleep(self.delay - elapsed)
-        self.last_call = time.time()
+        if self._lock is None:
+            self._lock = asyncio.Lock()
+        async with self._lock:
+            elapsed = time.time() - self.last_call
+            if elapsed < self.delay:
+                await asyncio.sleep(self.delay - elapsed)
+            self.last_call = time.time()
 
 
 class LLMProvider(ABC):
@@ -89,9 +100,13 @@ class GeminiProvider(LLMProvider):
         super().__init__(model_name, api_key, rate_limit)
 
     async def _generate(self, prompt: str) -> str:
-        url = f"{self.BASE}/{self.model_name}:generateContent?key={self.api_key}"
+        # Key goes in the header, NOT the URL: ProviderError embeds the URL
+        # and the HTTP layer serves exception text to remote clients — a
+        # query-param key would leak into 500 bodies and logs.
+        url = f"{self.BASE}/{self.model_name}:generateContent"
         payload = {"contents": [{"parts": [{"text": prompt}]}]}
-        data = await _post_json(url, payload, {"Content-Type": "application/json"}, self.timeout)
+        headers = {"Content-Type": "application/json", "x-goog-api-key": self.api_key or ""}
+        data = await _post_json(url, payload, headers, self.timeout)
         try:
             return data["candidates"][0]["content"]["parts"][0]["text"]
         except (KeyError, IndexError) as e:
@@ -148,8 +163,12 @@ class LlamaProvider(LLMProvider):
         super().__init__(model_name, api_key, rate_limit)
         self.base_url = base_url
         self.use_groq = bool(api_key and api_key.strip())
+        # Groq path honors the CALLER's model (Ollama-style names like
+        # "llama3.1:8b" map to the reference's Groq default); hardcoding
+        # would silently query a different — possibly decommissioned — model.
+        groq_model = model_name if "versatile" in model_name or "-" in model_name else "llama-3.1-70b-versatile"
         self._groq = OpenAIChatProvider(
-            "llama-3.1-70b-versatile", api_key, "https://api.groq.com/openai/v1", rate_limit=0.0
+            groq_model, api_key, "https://api.groq.com/openai/v1", rate_limit=0.0
         )
 
     async def _generate(self, prompt: str) -> str:

@@ -15,7 +15,7 @@ import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Optional
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 
 @dataclass
@@ -82,7 +82,10 @@ class JsonApp:
             m = regex.match(request.path)
             if not m:
                 continue
-            request.params = m.groupdict()
+            # Percent-decode path params ({param} captures) the same way
+            # parse_qs decodes query params — an encoded id like
+            # "my%20dataset" must target the stored "my dataset" key.
+            request.params = {k: unquote(v) for k, v in m.groupdict().items()}
             try:
                 out = fn(request)
             except HTTPError as e:
@@ -135,6 +138,18 @@ def _make_handler(app: JsonApp):
                 self.send_header(key, value)
             self.end_headers()
             self.wfile.write(response.body)
+
+        def do_OPTIONS(self):
+            # CORS preflight: the ACAO header on responses promises
+            # cross-origin access; without this, browsers' preflight hits
+            # BaseHTTPRequestHandler's default 501 and every cross-origin
+            # JSON POST fails.
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type, mcp-session-id")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         do_GET = do_POST = do_DELETE = do_PUT = _handle
 

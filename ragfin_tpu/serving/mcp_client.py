@@ -92,10 +92,17 @@ class MCPClient:
         data = _parse_sse(resp.text)
         if "error" in data:
             raise MCPClientError(str(data["error"]))
-        content = data.get("result", {}).get("content", [])
+        result = data.get("result", {})
+        content = result.get("content", [])
+        out: Any = result
         if content and content[0].get("type") == "text":
             try:
-                return json.loads(content[0]["text"])
+                out = json.loads(content[0]["text"])
             except json.JSONDecodeError:
-                return content[0]["text"]
-        return data.get("result")
+                out = content[0]["text"]
+        if result.get("isError"):
+            # Spec: tool failure is signaled via isError, not a JSON-RPC
+            # error — surfacing it as a successful return would let the
+            # REST bridges serve error payloads as data with HTTP 200.
+            raise MCPClientError(str(out))
+        return out

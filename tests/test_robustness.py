@@ -107,8 +107,13 @@ class TestFailureInjection:
 
         app = AppServer(server.app).start_background()
         try:
-            out = MCPClient(f"http://127.0.0.1:{app.port}").call_tool("explode")
-            assert out == {"success": False, "error": "kaput"}
+            # The server converts the exception to an isError result (the
+            # MCP failure contract) and the client surfaces it as an
+            # exception rather than returning the error payload as data.
+            from ragfin_tpu.serving.mcp_client import MCPClientError
+
+            with pytest.raises(MCPClientError, match="kaput"):
+                MCPClient(f"http://127.0.0.1:{app.port}").call_tool("explode")
         finally:
             app.stop()
 

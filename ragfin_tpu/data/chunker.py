@@ -87,7 +87,10 @@ def classify_quarterly_files(quarterly_data: Iterable[Json]) -> dict[str, Option
 def _get(series: Optional[Json], key: Optional[str], default: float = 0) -> float:
     if not series or not key:
         return default
-    return series.get(key, default)
+    v = series.get(key, default)
+    # An explicit JSON null must behave like a missing key — returning None
+    # would crash every numeric format downstream.
+    return default if v is None else v
 
 
 def _pct(part: float, whole: float) -> float:

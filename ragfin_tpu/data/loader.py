@@ -54,7 +54,14 @@ def build_corpus(
         if not os.path.isdir(folder):
             continue
         quarterly_data = load_quarter_files(folder)
-        chunks.extend(create_complete_context_chunks(quarterly_data, period))
+        # Forward the company prefix into the chunk ids: without it every
+        # company's chunks would get "icici_*" ids and collide when two
+        # companies are indexed together.
+        chunks.extend(
+            create_complete_context_chunks(
+                quarterly_data, period, id_prefix=company_prefix
+            )
+        )
     return chunks
 
 

@@ -430,6 +430,14 @@ class DeviceVectorIndex:
             meta["featurizer"] = self.featurizer.state_dict()
         if getattr(self, "encoder", None) is not None:
             meta["encoder"] = self.encoder.state_dict()
+            if getattr(self.encoder, "tuned", False):
+                # A fine-tuned projection table cannot be regenerated from
+                # the seed; without it the reloaded encoder would encode
+                # queries against a DIFFERENT table than the saved matrix.
+                np.save(
+                    os.path.join(directory, "encoder_table.npy"),
+                    np.asarray(self.encoder.table, np.float32),
+                )
         embedder = getattr(self, "embedder", None)
         if embedder is not None and getattr(embedder, "backend", "hashed") != "hashed":
             meta["embedder"] = embedder.state_dict()
@@ -454,7 +462,9 @@ class DeviceVectorIndex:
         if "featurizer" in meta:
             index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
         if "encoder" in meta:
-            index.encoder = BagEncoder.from_state_dict(meta["encoder"])
+            tpath = os.path.join(directory, "encoder_table.npy")
+            table = jnp.asarray(np.load(tpath)) if os.path.exists(tpath) else None
+            index.encoder = BagEncoder.from_state_dict(meta["encoder"], table=table)
         if "embedder" in meta and meta["embedder"].get("backend") == "minilm":
             from ..models.embedder import MiniLMEmbedder
 

@@ -77,6 +77,10 @@ class BagEncoder:
         self.vocab_size = vocab_size
         self.dim = dim
         self.seed = seed
+        # A caller-supplied table (e.g. a fine-tuned projection,
+        # finetune.py) cannot be regenerated from the seed — persistence
+        # must serialize it (see DeviceVectorIndex.save "encoder_table").
+        self.tuned = table is not None
         self.table = table if table is not None else init_table(vocab_size, dim, seed, dtype)
 
     def encode(self, ids, weights) -> jax.Array:
@@ -84,12 +88,24 @@ class BagEncoder:
         return _jit_bag_encode(self.table, jnp.asarray(ids), jnp.asarray(weights))
 
     def state_dict(self) -> dict:
-        return {"vocab_size": self.vocab_size, "dim": self.dim, "seed": self.seed}
+        return {
+            "vocab_size": self.vocab_size,
+            "dim": self.dim,
+            "seed": self.seed,
+            "tuned": self.tuned,
+        }
 
     @classmethod
-    def from_state_dict(cls, state: dict) -> "BagEncoder":
+    def from_state_dict(cls, state: dict, table=None) -> "BagEncoder":
+        if state.get("tuned") and table is None:
+            raise ValueError(
+                "encoder state says the projection table was tuned, but no "
+                "table array was provided — reconstructing from the seed "
+                "would silently mismatch the saved corpus matrix"
+            )
         return cls(
             vocab_size=int(state["vocab_size"]),
             dim=int(state["dim"]),
             seed=int(state["seed"]),
+            table=table,
         )

@@ -64,13 +64,13 @@ class HashedEmbedder:
         }
 
     @classmethod
-    def from_state_dict(cls, state: dict) -> "HashedEmbedder":
+    def from_state_dict(cls, state: dict, encoder_table=None) -> "HashedEmbedder":
         from .bag_encoder import BagEncoder
         from .featurizer import HashedFeaturizer
 
         return cls(
             featurizer=HashedFeaturizer.from_state_dict(state["featurizer"]),
-            encoder=BagEncoder.from_state_dict(state["encoder"]),
+            encoder=BagEncoder.from_state_dict(state["encoder"], table=encoder_table),
         )
 
 
@@ -96,7 +96,17 @@ class MiniLMEmbedder:
             try:
                 params = load_hf_weights(checkpoint, self.config)
                 tokenizer = WordPieceTokenizer.find_checkpoint_vocab(checkpoint, max_len=max_len)
-            except (FileNotFoundError, KeyError):
+            except Exception:
+                # ANY load failure (missing file, truncated safetensors,
+                # absent torch/safetensors dep) falls back to random init —
+                # the documented contract; a partial load must not crash
+                # engine startup.
+                params = None
+                tokenizer = None
+            if params is not None and tokenizer is None:
+                # Pretrained weights with no checkpoint vocab would pair
+                # the real embedding matrix with hash-bucket token ids —
+                # garbage embeddings confidently labeled pretrained.
                 params = None
         self.params = params if params is not None else init_params(self.config, seed=seed)
         self.pretrained = params is not None
@@ -120,8 +130,14 @@ class MiniLMEmbedder:
 
 
 def make_embedder(backend: str = "hashed", **kwargs) -> Embedder:
-    if backend == "hashed":
-        return HashedEmbedder(**{k: v for k, v in kwargs.items() if k in ("vocab_size", "dim", "seed")})
-    if backend == "minilm":
-        return MiniLMEmbedder(**{k: v for k, v in kwargs.items() if k in ("checkpoint", "seed", "batch_size")})
-    raise ValueError(f"unknown embed backend: {backend}")
+    known = {
+        "hashed": ("vocab_size", "dim", "seed", "featurizer", "encoder"),
+        "minilm": ("checkpoint", "seed", "batch_size", "max_len"),
+    }
+    if backend not in known:
+        raise ValueError(f"unknown embed backend: {backend}")
+    unknown = set(kwargs) - set(known["hashed"]) - set(known["minilm"])
+    if unknown:
+        raise TypeError(f"unknown embedder kwargs: {sorted(unknown)}")
+    cls = HashedEmbedder if backend == "hashed" else MiniLMEmbedder
+    return cls(**{k: v for k, v in kwargs.items() if k in known[backend]})

@@ -130,12 +130,23 @@ class HashedFeaturizer:
         self._idf_arr = None
         return self
 
-    def _native_batch(self, texts):
+    def _native_batch(self, texts, max_feats: int = 4096):
         from . import fasthash
 
         if not fasthash.available():
             return None
-        return fasthash.featurize_batch(texts, self.vocab_size, self.bigram_weight)
+        out = fasthash.featurize_batch(
+            texts, self.vocab_size, self.bigram_weight, max_feats=max_feats
+        )
+        if out is not None and len(out[2]) and int(out[2].max()) >= max_feats:
+            # A row saturated its capacity: the native path would silently
+            # drop the overflow features and diverge from the pure-Python
+            # featurizer (bit-parity contract). Double the capacity and
+            # retry up to the vocab size (distinct features can't exceed it).
+            if max_feats < self.vocab_size:
+                return self._native_batch(texts, min(max_feats * 2, self.vocab_size))
+            return None  # pathological: fall back to the Python path
+        return out
 
     def _idf_array(self) -> np.ndarray:
         """Dense IDF lookup (0 = OOV → dropped) for vectorized weighting."""

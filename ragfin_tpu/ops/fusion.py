@@ -42,7 +42,11 @@ def fuse_results(
     graph_b = jnp.broadcast_to(graph_rows[None, :], (q, g))
     dup = (vec_ids[:, :, None] == graph_b[:, None, :]) & vec_valid[:, :, None]
     dup = jnp.any(dup, axis=1)  # [Q, G]
-    graph_valid = (graph_b >= 0) & ~dup
+    # Dedup within graph_rows too (keep the first occurrence) — the
+    # docstring promises dedup by chunk id, not just graph-vs-vector.
+    same = graph_rows[None, :] == graph_rows[:, None]  # [G, G]
+    earlier = jnp.tril(same, k=-1).any(axis=1)  # row repeats an earlier one
+    graph_valid = (graph_b >= 0) & ~dup & ~earlier[None, :]
     graph_priority = jnp.where(
         graph_valid, _GRAPH_BASE - jnp.arange(g, dtype=jnp.float32)[None, :], -jnp.inf
     )

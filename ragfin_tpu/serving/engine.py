@@ -35,11 +35,20 @@ class RagFinEngine:
         self.chunks = chunks if chunks is not None else self._load_chunks()
         self.vector_index = self._build_or_load_index()
         self.graph = self._load_graph()
-        extractor = (
-            EntityExtractor(self.settings.default_model, self.settings.get_api_key_for_model(self.settings.default_model))
-            if self.provider is not None and self.settings.default_model != "fake"
-            else RuleBasedExtractor()
-        )
+        if self.provider is not None and self.settings.default_model != "fake":
+            # Reuse the engine's provider (one rate-limited client) instead
+            # of constructing a second one; an unknown model name degrades
+            # to rule-based extraction rather than crashing startup.
+            try:
+                extractor = EntityExtractor(
+                    self.settings.default_model,
+                    self.settings.get_api_key_for_model(self.settings.default_model),
+                    provider=self.provider,
+                )
+            except Exception:
+                extractor = RuleBasedExtractor()
+        else:
+            extractor = RuleBasedExtractor()
         self.graph_builder = GraphBuilder(self.graph, extractor=extractor, provider=self.provider)
         self.vector_rag = VectorRAG(self.vector_index, self.provider)
         self.hybrid = HybridRAG(self.vector_index, self.graph, self.provider)
@@ -109,7 +118,7 @@ class RagFinEngine:
             self.chunks,
             embedder=embedder,
             batch_size=1024,
-            dtype="int8" if self.settings.index_dtype == "int8" else self.settings.index_dtype,
+            dtype=self.settings.index_dtype,
         )
         if self.settings.index_type == "ivf":
             # The reference's actual index type (Milvus IVF_FLAT): cluster

@@ -177,7 +177,9 @@ def cmd_bench(args) -> int:
     import runpy
     import os
 
-    os.environ.setdefault("BENCH_N", str(args.n))
+    # Explicit flag wins over any inherited env var (setdefault would make
+    # --n dead whenever BENCH_N is exported in the shell).
+    os.environ["BENCH_N"] = str(args.n)
     runpy.run_module("bench", run_name="__main__")
     return 0
 
@@ -219,7 +221,9 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true", help="bypass query filters/rerank (embedding-only ablation)")
     p.add_argument("--summary", default=None, help="write research-summary JSON here")
     p.add_argument("--data", default="extract_data")
-    p.add_argument("--index", default="")
+    # Same default as `query`/`serve` so eval scores the index users
+    # actually serve (pass --index "" to force a fresh default build).
+    p.add_argument("--index", default=".ragfin_index")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("extract-pdf", help="extract text + line items from a PDF filing")

@@ -110,9 +110,26 @@ def faithfulness(answer: str, contexts: Sequence[str]) -> Optional[float]:
             continue
         if derived is None:
             derived = _derived_pool(context_nums)
-        if number_matches(n, derived):
+        if _matches_derived(n, derived):
             grounded += 1
     return grounded / len(nums)
+
+
+def _matches_derived(n: float, derived: Sequence[float]) -> bool:
+    """Match against DERIVED values with a much tighter tolerance than the
+    dataset's answer tolerance. The derived pool is O(pairs²) large, so the
+    ±2%/±₹50cr windows would credit almost any invented figure (with ~60
+    context numbers nearly every magnitude has a pool member within 2%);
+    a genuine arithmetic derivation reproduces the pool value to rounding
+    precision, so 0.1% relative (plus 0.06 absolute for one-decimal
+    percent/pp roundings) keeps real derivations while failing
+    hallucinations."""
+    for c in derived:
+        if abs(c - n) <= 0.06:
+            return True
+        if n and abs(c - n) / abs(n) * 100 <= 0.1:
+            return True
+    return False
 
 
 @dataclass

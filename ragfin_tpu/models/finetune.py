@@ -79,12 +79,38 @@ def finetune_bag_encoder(
 
     rng = np.random.default_rng(seed)
     n = len(pairs)
+    # InfoNCE's diagonal labels require every row in a batch to have a
+    # DISTINCT query and a DISTINCT document: multi-gold questions emit one
+    # row per (question, chunk), and two rows with the same question (or the
+    # same shared gold chunk) in one batch would teach the encoder that a
+    # genuinely-relevant pair is a negative. Per epoch we sample one random
+    # positive per question, then greedily pack batches so neither queries
+    # nor documents repeat within a batch.
+    by_query: dict[str, list[int]] = {}
+    for i, q in enumerate(pairs.queries):
+        by_query.setdefault(q, []).append(i)
+
+    def epoch_batches() -> list[np.ndarray]:
+        picks = [rows[rng.integers(len(rows))] for rows in by_query.values()]
+        rng.shuffle(picks)
+        batches: list[list[int]] = []
+        for i in picks:
+            placed = False
+            for b in batches:
+                if len(b) < batch_size and all(
+                    pairs.documents[j] != pairs.documents[i] for j in b
+                ):
+                    b.append(i)
+                    placed = True
+                    break
+            if not placed:
+                batches.append([i])
+        return [np.asarray(b) for b in batches]
+
     history = []
     for epoch in range(epochs):
-        order = rng.permutation(n)
         losses, accs = [], []
-        for start in range(0, n, batch_size):
-            sel = order[start : start + batch_size]
+        for sel in epoch_batches():
             if len(sel) < 2:  # in-batch negatives need >= 2
                 continue
             batch = {

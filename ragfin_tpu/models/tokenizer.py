@@ -47,7 +47,9 @@ class WordPieceTokenizer:
         vocab = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                vocab[line.rstrip("\n")] = i
+                # rstrip CR too: a CRLF vocab.txt would leave "\r" on every
+                # token and silently map all text to [UNK].
+                vocab[line.rstrip("\r\n")] = i
         return cls(vocab=vocab, **kwargs)
 
     @classmethod
@@ -94,8 +96,10 @@ class WordPieceTokenizer:
 
     def _hash_ids(self, token: str) -> list[int]:
         # Deterministic fallback: hash into the non-special id range.
-        span = self.vocab_size - 1000
-        return [1000 + fnv1a64(token.encode()) % span]
+        # (Floor at 1: vocab_size <= 1000 would modulo by zero/negative and
+        # emit invalid ids.)
+        span = max(1, self.vocab_size - 1000)
+        return [min(1000, self.vocab_size - 1) + fnv1a64(token.encode()) % span]
 
     def encode(self, text: str) -> list[int]:
         ids = [self.cls_id]

@@ -205,49 +205,74 @@ class FilteredSearch:
             return None
         return sorted(p for p in scoped_periods if p.endswith(f"FY{years[-1]}"))
 
-    def search_texts(self, queries, top_k: int = 3, method: str = "auto", **kwargs):
-        known_periods, companies, by_company = self._vocab()
-        out = []
-        for q in queries:
-            f = extract_filters(q, known_periods)
-            company = self._company_for(q, companies)
-            scoped_periods = by_company.get(company, set()) if company else known_periods
-            latest = self._latest_fy_periods(f, scoped_periods)
-            # Groups of tiers: tiers WITHIN a group are fetched together and
-            # merged by score (the typed tier must not gatekeep its untyped
-            # sibling); later GROUPS only top up missing slots.
-            groups: list[list[dict]] = []
-            scoped: list[dict] = []
-            if f.chunk_type and self.use_type_hint:
-                scoped.append(
-                    dict(
-                        periods=f.periods or latest or None,
-                        chunk_type=f.chunk_type,
-                        company=company,
-                    )
+    def _tier_groups(self, q: str, known_periods, companies, by_company):
+        """The query's tier-group plan (see search_texts)."""
+        f = extract_filters(q, known_periods)
+        company = self._company_for(q, companies)
+        scoped_periods = by_company.get(company, set()) if company else known_periods
+        latest = self._latest_fy_periods(f, scoped_periods)
+        groups: list[list[dict]] = []
+        scoped: list[dict] = []
+        if f.chunk_type and self.use_type_hint:
+            scoped.append(
+                dict(
+                    periods=f.periods or latest or None,
+                    chunk_type=f.chunk_type,
+                    company=company,
                 )
-            if f.periods:
-                scoped.append(dict(periods=f.periods, company=company))
-            elif latest:
-                scoped.append(dict(periods=latest, company=company))
-            if scoped:
-                groups.append(scoped)
-            if company is not None:
-                groups.append([dict(company=company)])
-            groups.append([{}])
+            )
+        if f.periods:
+            scoped.append(dict(periods=f.periods, company=company))
+        elif latest:
+            scoped.append(dict(periods=latest, company=company))
+        if scoped:
+            groups.append(scoped)
+        if company is not None:
+            groups.append([dict(company=company)])
+        groups.append([{}])
+        return groups
 
-            hits: list = []
-            seen: set = set()
+    def search_texts(self, queries, top_k: int = 3, method: str = "auto", **kwargs):
+        """Tiered scoped search.
+
+        Queries with IDENTICAL tier plans share device dispatches (one
+        multi-query index call per tier) — without this, the serving
+        batcher's grouped calls would degenerate back into per-query
+        dispatches. Per-query results are identical to the sequential
+        formulation: a member stops consuming tier groups once it has
+        ``top_k`` hits.
+        """
+        known_periods, companies, by_company = self._vocab()
+        queries = list(queries)
+
+        def plan_key(groups) -> str:
+            return repr(groups)
+
+        by_plan: dict[str, list[int]] = {}
+        plans: dict[str, list] = {}
+        for i, q in enumerate(queries):
+            groups = self._tier_groups(q, known_periods, companies, by_company)
+            key = plan_key(groups)
+            by_plan.setdefault(key, []).append(i)
+            plans[key] = groups
+
+        out: list = [None] * len(queries)
+        for key, idxs in by_plan.items():
+            groups = plans[key]
+            hits = {i: [] for i in idxs}
+            seen = {i: set() for i in idxs}
             for group in groups:
-                if len(hits) >= top_k:
+                active = [i for i in idxs if len(hits[i]) < top_k]
+                if not active:
                     break
-                lists = [
+                qs = [queries[i] for i in active]
+                lists_per_tier = [
                     # Caller-supplied filters (**kwargs) compose with — and
                     # override — the tier-derived ones.
                     self.index.search_texts(
-                        [q], top_k=top_k, method=method,
+                        qs, top_k=top_k, method=method,
                         rerank=self.rerank, **{**flt, **kwargs},
-                    )[0]
+                    )
                     for flt in group
                 ]
                 # Tier order IS the ranking prior: typed hits precede the
@@ -260,12 +285,15 @@ class FilteredSearch:
                 # always fetched, so other-type golds can be demoted below
                 # the typed block (≤ top_k positions) but never dropped
                 # from the candidate list.
-                for l in lists:
-                    for h in l:
-                        if h.record.id not in seen:
-                            seen.add(h.record.id)
-                            hits.append(h)
-            for rank, h in enumerate(hits[:top_k]):
-                h.rank = rank
-            out.append(hits[:top_k])
+                for row, i in enumerate(active):
+                    for tier_lists in lists_per_tier:
+                        for h in tier_lists[row]:
+                            if h.record.id not in seen[i]:
+                                seen[i].add(h.record.id)
+                                hits[i].append(h)
+            for i in idxs:
+                top = hits[i][:top_k]
+                for rank, h in enumerate(top):
+                    h.rank = rank
+                out[i] = top
         return out

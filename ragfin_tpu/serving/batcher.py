@@ -127,7 +127,7 @@ class QueryBatcher:
                     continue
                 METRICS.incr("batcher.batches")
                 METRICS.incr("batcher.queries", len(batch))
-                METRICS.observe_latency("batcher.batch_size", len(batch))
+                METRICS.observe_value("batcher.batch_size", len(batch))
                 k = max(item.top_k for item in batch)
                 try:
                     with METRICS.timed("batcher.dispatch"):

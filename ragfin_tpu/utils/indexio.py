@@ -98,6 +98,22 @@ def read_array(path: str) -> np.ndarray:
         raise IndexIOError(f"index header read failed rc={rc}")
     if dtype.value not in _CODE_DTYPES:
         raise IndexIOError(f"unsupported dtype code {dtype.value}")
+    # The header is not CRC-covered (the checksum guards the payload), so
+    # validate its self-consistency before trusting plen for an allocation:
+    # a bit-flipped length would otherwise attempt a multi-TB buffer, and
+    # flipped dims would surface as a bare reshape ValueError.
+    np_dtype = np.dtype(_CODE_DTYPES[dtype.value])
+    expect = int(rows.value) * int(cols.value) * np_dtype.itemsize
+    if plen.value != expect:
+        raise IndexIOError(
+            f"index header inconsistent: payload_len={plen.value} but "
+            f"{rows.value}x{cols.value} {np_dtype.name} needs {expect}"
+        )
+    fsize = os.path.getsize(path)
+    if plen.value > fsize:
+        raise IndexIOError(
+            f"index payload_len {plen.value} exceeds file size {fsize}"
+        )
     buf = ctypes.create_string_buffer(plen.value)
     rc = lib.ragfin_index_read_payload(path.encode(), buf, ctypes.c_uint64(plen.value))
     if rc == -7:

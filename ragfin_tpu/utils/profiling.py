@@ -67,6 +67,8 @@ class MetricRegistry:
         self._lock = threading.Lock()
         self._counters: dict[str, float] = defaultdict(float)
         self._latencies: dict[str, list[float]] = defaultdict(list)
+        self._values: dict[str, list[float]] = defaultdict(list)
+        self._stamps: dict[str, list[float]] = defaultdict(list)
         self._window = window
 
     def incr(self, name: str, amount: float = 1.0) -> None:
@@ -77,6 +79,18 @@ class MetricRegistry:
         with self._lock:
             bucket = self._latencies[name]
             bucket.append(seconds)
+            stamps = self._stamps[name]
+            stamps.append(time.time())
+            if len(bucket) > self._window:
+                del bucket[: len(bucket) - self._window]
+                del stamps[: len(stamps) - self._window]
+
+    def observe_value(self, name: str, value: float) -> None:
+        """Unitless value histogram (batch sizes, queue depths) — kept apart
+        from latencies, whose summary scales samples into milliseconds."""
+        with self._lock:
+            bucket = self._values[name]
+            bucket.append(value)
             if len(bucket) > self._window:
                 del bucket[: len(bucket) - self._window]
 
@@ -101,19 +115,40 @@ class MetricRegistry:
                     "p99": _percentile(s, 0.99) * 1e3,
                     "mean": statistics.fmean(s) * 1e3 if s else 0.0,
                 }
+            if self._values:
+                out["values"] = {}
+                for name, vals in self._values.items():
+                    s = sorted(vals)
+                    out["values"][name] = {
+                        "count": len(s),
+                        "p50": _percentile(s, 0.50),
+                        "p90": _percentile(s, 0.90),
+                        "mean": statistics.fmean(s) if s else 0.0,
+                    }
             return out
 
     def qps(self, name: str, window_s: float = 60.0) -> Optional[float]:
+        """Completions per second over the LAST ``window_s`` wall seconds.
+
+        Counts completion timestamps — inverse-mean-latency would understate
+        true throughput by the concurrency factor."""
         with self._lock:
-            vals = self._latencies.get(name)
-            if not vals:
+            stamps = self._stamps.get(name)
+            if not stamps:
                 return None
-            return len(vals) / max(sum(vals), 1e-9)
+            cutoff = time.time() - window_s
+            recent = sum(1 for t in stamps if t >= cutoff)
+            if recent == 0:
+                return 0.0
+            span = min(window_s, max(time.time() - stamps[0], 1e-9))
+            return recent / span
 
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()
             self._latencies.clear()
+            self._values.clear()
+            self._stamps.clear()
 
 
 METRICS = MetricRegistry()

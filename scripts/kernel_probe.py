@@ -658,7 +658,7 @@ def adversarial_1m() -> None:
     """Worst case for the streaming merge: corpus columns sorted ascending
     by score against the query direction, so every tile improves the running
     top-k k times (round-1 verdict #2 asks for this measured)."""
-    n, q, k, bn = 1_000_000, 64, 10, 2048
+    n, q, k, bn = 1_000_000, 64, 10, None  # None = production defaults
     _stage("adversarial: building sorted corpus")
     key = jax.random.PRNGKey(0)
     d0 = jax.random.normal(jax.random.PRNGKey(9), (D,), jnp.float32)

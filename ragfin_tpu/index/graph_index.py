@@ -9,8 +9,9 @@ neo4j_service.py:21-175``). Design:
   ``config.constants.FINANCIAL_ENTITY_TYPES``; unseen names grow the vocab).
 - Every (quarter → entity) edge with its typed attributes is one row of a
   packed columnar **fact table**: int32 quarter/entity/type columns + float32
-  attribute columns, padded to a lane multiple and sorted by (quarter, type,
-  entity) — CSR-style with per-quarter row offsets for frontier expansion.
+  attribute columns, padded to a lane multiple and sorted by (quarter, type)
+  with stable insertion order within a group — CSR-style quarter-major
+  ordering (the reference's ORDER BY q.period).
 - A query = boolean masks over the quarter/entity/type vocabularies; the
   device kernel scores each fact row (match → 1.0 else -inf, ordered by row
   id) and reuses the exact top-k machinery (:mod:`ragfin_tpu.ops.topk`'s
@@ -262,7 +263,7 @@ class GraphIndex:
     # per-column vocabularies so a 10M-fact store is ~9 int/float numpy
     # columns, not 10M python tuples.
     _NUM_COLS = ("quarter_ids", "entity_ids", "type_ids", "value", "growth", "aux")
-    _STR_COLS = ("unit_ids", "chunk_ids", "dataset_ids")
+    _STR_COLS = ("unit_ids", "chunk_ids", "dataset_ids", "company_ids")
 
     def __init__(self, company: str = "ICICI Bank"):
         self.company = company
@@ -280,6 +281,11 @@ class GraphIndex:
         self._chunk_id_of: dict[str, int] = {"": 0}
         self._datasets: list[str] = [""]
         self._dataset_id_of: dict[str, int] = {"": 0}
+        # Company vocab (reference: quarters live under an Organization
+        # node; without a per-fact company a multi-company graph conflates
+        # banks at query time). Slot 0 = the default company.
+        self._companies: list[str] = [company]
+        self._company_id_of: dict[str, int] = {company: 0}
         # Consolidated columnar store + small append buffer.
         self._cols: dict[str, np.ndarray] = self._empty_cols()
         self._pending: list[tuple] = []
@@ -299,6 +305,7 @@ class GraphIndex:
             "unit_ids": np.zeros((0,), np.int32),
             "chunk_ids": np.zeros((0,), np.int32),
             "dataset_ids": np.zeros((0,), np.int32),
+            "company_ids": np.zeros((0,), np.int32),
         }
 
     # --- vocabulary ------------------------------------------------------
@@ -346,6 +353,7 @@ class GraphIndex:
             "unit_ids": np.asarray(pend[6], np.int32),
             "chunk_ids": np.asarray(pend[7], np.int32),
             "dataset_ids": np.asarray(pend[8], np.int32),
+            "company_ids": np.asarray(pend[9], np.int32),
         }
         self._cols = {k: np.concatenate([self._cols[k], new[k]]) for k in self._cols}
         self._pending = []
@@ -363,18 +371,21 @@ class GraphIndex:
             return 0
         company = company_name or self.company
         self.organizations.setdefault(company, set()).add(quarter)
-        self.quarter_sources.setdefault(quarter, []).append(chunk_id)
+        sources = self.quarter_sources.setdefault(quarter, [])
+        if chunk_id not in sources:  # rebuilds must not duplicate sources
+            sources.append(chunk_id)
         q = self._intern_quarter(quarter)
         added = 0
 
         cid = self._intern(self._chunks, self._chunk_id_of, chunk_id)
         did = self._intern(self._datasets, self._dataset_id_of, dataset_id)
+        coid = self._intern(self._companies, self._company_id_of, company)
 
         def put(type_id, name, value, growth, aux, unit):
             nonlocal added
             e = self._intern_entity(name)
             uid = self._intern(self._units, self._unit_id, unit or "")
-            self._pending.append((q, e, type_id, value, growth, aux, uid, cid, did))
+            self._pending.append((q, e, type_id, value, growth, aux, uid, cid, did, coid))
             added += 1
 
         for m in entities.financial_metrics:
@@ -402,6 +413,7 @@ class GraphIndex:
         unit: str = "crore",
         chunk_id: str = "bulk",
         dataset_id: str = "bulk",
+        company: Optional[str] = None,
     ) -> int:
         """Columnar bulk ingestion (the 10M-fact scale path): numpy arrays of
         pre-interned vocab ids (see :meth:`intern_quarters` /
@@ -423,6 +435,11 @@ class GraphIndex:
             "unit_ids": np.full((n,), uid, np.int32),
             "chunk_ids": np.full((n,), cid, np.int32),
             "dataset_ids": np.full((n,), did, np.int32),
+            "company_ids": np.full(
+                (n,),
+                self._intern(self._companies, self._company_id_of, company or self.company),
+                np.int32,
+            ),
         }
         self._cols = {k: np.concatenate([self._cols[k], new[k]]) for k in self._cols}
         self._packed = None
@@ -441,6 +458,23 @@ class GraphIndex:
             if did is not None:
                 keep = self._cols["dataset_ids"] != did
                 self._cols = {k: v[keep] for k, v in self._cols.items()}
+                # Reference clear semantics remove the org/quarter nodes
+                # too — rebuild the host-side views from surviving rows so
+                # stats() does not report cleared data.
+                self.organizations = {}
+                self.quarter_sources = {}
+                for qi, ci, coi in zip(
+                    self._cols["quarter_ids"], self._cols["chunk_ids"],
+                    self._cols["company_ids"],
+                ):
+                    quarter = self.quarters[int(qi)]
+                    self.organizations.setdefault(
+                        self._companies[int(coi)], set()
+                    ).add(quarter)
+                    chunk = self._chunks[int(ci)]
+                    sources = self.quarter_sources.setdefault(quarter, [])
+                    if chunk and chunk not in sources:
+                        sources.append(chunk)
         self._packed = None
 
     # --- packing ----------------------------------------------------------
@@ -473,15 +507,6 @@ class GraphIndex:
             out[:n] = arr
             return out
 
-        # Per-quarter CSR offsets over the chronologically sorted quarter
-        # sequence (rows are packed in that order).
-        present_ranks = np.unique(qrank[order]) if n else np.zeros((0,), np.int64)
-        sorted_quarters = [self.quarters[chrono[int(r)]] for r in present_ranks]
-        counts = np.bincount(
-            np.searchsorted(present_ranks, qrank[order]), minlength=len(sorted_quarters)
-        ) if n else np.zeros((0,), np.int64)
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-
         self._packed = {
             "quarter_ids": jnp.asarray(padded(sorted_cols["quarter_ids"], 0)),
             "entity_ids": jnp.asarray(padded(sorted_cols["entity_ids"], 0)),
@@ -489,9 +514,8 @@ class GraphIndex:
             "value": jnp.asarray(padded(sorted_cols["value"], np.nan)),
             "growth": jnp.asarray(padded(sorted_cols["growth"], np.nan)),
             "aux": jnp.asarray(padded(sorted_cols["aux"], np.nan)),
+            "company_ids": jnp.asarray(padded(sorted_cols["company_ids"], 0)),
             "row_valid": jnp.asarray(np.arange(total) < n),
-            "quarter_offsets": jnp.asarray(offsets),
-            "sorted_quarters": sorted_quarters,
             # Host sidecar: sorted numpy columns for result materialization.
             "host": sorted_cols,
             "n": n,
@@ -499,6 +523,21 @@ class GraphIndex:
         return self._packed
 
     # --- queries ----------------------------------------------------------
+    def _scoped_valid(self, packed, companies: Optional[Sequence[str]]):
+        """row_valid ∧ company scope. The fact table carries a per-row
+        company id (the reference scopes quarters under an Organization
+        node); without this, a multi-company graph would conflate banks in
+        match/aggregate results."""
+        rv = packed["row_valid"]
+        if not companies:
+            return rv
+        cm = np.zeros((len(self._companies),), bool)
+        for c in companies:
+            ci = self._company_id_of.get(c)
+            if ci is not None:
+                cm[ci] = True
+        return rv & jnp.asarray(cm)[packed["company_ids"]]
+
     def _masks(self, quarters: Optional[Sequence[str]], names: Optional[Sequence[str]], types: Optional[Sequence[int]]):
         nq, ne = len(self.quarters), len(self.entities)
         qm = np.zeros((nq,), bool)
@@ -530,6 +569,7 @@ class GraphIndex:
         names: Optional[Sequence[str]] = None,
         types: Optional[Sequence[int]] = None,
         limit: int = 30,
+        companies: Optional[Sequence[str]] = None,
     ) -> list[dict]:
         """Masked fact selection → result rows in the reference's Cypher
         result-dict shapes (graph_cons.py:371-456)."""
@@ -537,13 +577,14 @@ class GraphIndex:
         if packed["n"] == 0:
             return []
         qm, em, tm = self._masks(quarters, names, types)
+        row_valid = self._scoped_valid(packed, companies)
         total = int(packed["quarter_ids"].shape[0])
         if total >= (1 << 18):
             # Scale path: one vectorized predicate pass + streaming Pallas
             # first-k (CSR order makes first-k == top-k) — no 10M-row sort.
             hit = _hit_vector(
                 packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
-                packed["row_valid"], qm, em, tm,
+                row_valid, qm, em, tm,
             )
             ids, _cnt = masked_first_k(
                 hit, min(limit, total), interpret=jax.default_backend() != "tpu"
@@ -552,7 +593,7 @@ class GraphIndex:
             return self._rows_to_dicts(packed, ids, ids < packed["n"])
         top_rows, valid, _count = _match_kernel(
             packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
-            packed["row_valid"], qm, em, tm, limit,
+            row_valid, qm, em, tm, limit,
         )
         return self._rows_to_dicts(packed, np.asarray(top_rows), np.asarray(valid))
 
@@ -562,6 +603,7 @@ class GraphIndex:
         quarters: Optional[Sequence[str]] = None,
         types: Optional[Sequence[int]] = None,
         field: str = "value",
+        companies: Optional[Sequence[str]] = None,
     ) -> Optional[dict]:
         """Masked min/max/mean over a fact attribute ('value'|'growth'|'aux').
 
@@ -574,7 +616,7 @@ class GraphIndex:
         qm, em, tm = self._masks(quarters, names, types)
         argmax, argmin, mean, count = _aggregate_kernel(
             packed[field], packed["quarter_ids"], packed["entity_ids"], packed["type_ids"],
-            packed["row_valid"], qm, em, tm,
+            self._scoped_valid(packed, companies), qm, em, tm,
         )
         if int(count) == 0:
             return None
@@ -617,6 +659,7 @@ class GraphIndex:
             q = int(host["quarter_ids"][r])
             e = int(host["entity_ids"][r])
             t = int(host["type_ids"][r])
+            company = self._companies[int(host["company_ids"][r])]
             value = _opt(host["value"][r])
             growth = _opt(host["growth"][r])
             aux = _opt(host["aux"][r])
@@ -625,17 +668,17 @@ class GraphIndex:
             quarter = self.quarters[q]
             name = self.entities[e]
             if t == METRIC:
-                out.append({"quarter": quarter, "metric_name": name, "value": value,
+                out.append({"quarter": quarter, "company": company, "metric_name": name, "value": value,
                             "growth": growth, "unit": unit, "source_chunk": chunk_id})
             elif t == SEGMENT:
-                out.append({"quarter": quarter, "segment_name": name, "revenue": value,
+                out.append({"quarter": quarter, "company": company, "segment_name": name, "revenue": value,
                             "margin": aux, "percentage_of_total": growth,
                             "source_chunk": chunk_id})
             elif t == RATIO:
-                out.append({"quarter": quarter, "ratio_name": name, "value": value,
+                out.append({"quarter": quarter, "company": company, "ratio_name": name, "value": value,
                             "growth": growth, "unit": unit, "source_chunk": chunk_id})
             else:
-                out.append({"quarter": quarter, "item_name": name, "value": value,
+                out.append({"quarter": quarter, "company": company, "item_name": name, "value": value,
                             "percentage_of_total": aux, "unit": unit, "source_chunk": chunk_id})
         return out
 
@@ -684,6 +727,7 @@ class GraphIndex:
                     "units": self._units,
                     "chunks": self._chunks,
                     "datasets": self._datasets,
+                    "companies": self._companies,
                     "organizations": {k: sorted(v) for k, v in self.organizations.items()},
                     "quarter_sources": self.quarter_sources,
                 },
@@ -709,8 +753,15 @@ class GraphIndex:
             g._unit_id = {u: i for i, u in enumerate(g._units)}
             g._chunk_id_of = {c: i for i, c in enumerate(g._chunks)}
             g._dataset_id_of = {d: i for i, d in enumerate(g._datasets)}
+            if "companies" in data:
+                g._companies = data["companies"]
+                g._company_id_of = {c: i for i, c in enumerate(g._companies)}
             with np.load(os.path.join(directory, "graph_facts.npz")) as z:
-                g._cols = {k: z[k] for k in g._cols}
+                g._cols = {
+                    k: (z[k] if k in z
+                        else np.zeros(z["quarter_ids"].shape, np.int32))
+                    for k in g._cols
+                }
         else:
             # Round-1 format: JSON row tuples (q, e, t, value, growth, aux,
             # unit, chunk_id, dataset_id) — convert through the append path.
@@ -719,6 +770,6 @@ class GraphIndex:
                 uid = g._intern(g._units, g._unit_id, unit or "")
                 cid = g._intern(g._chunks, g._chunk_id_of, chunk_id)
                 did = g._intern(g._datasets, g._dataset_id_of, dataset_id)
-                g._pending.append((q, e, t, value, growth, aux, uid, cid, did))
+                g._pending.append((q, e, t, value, growth, aux, uid, cid, did, 0))
             g._consolidate()
         return g

@@ -28,24 +28,26 @@ namespace {
 constexpr uint32_t kMagic = 0x49464752;  // "RGFI" little-endian
 constexpr uint32_t kVersion = 1;
 
-uint32_t crc32_table[256];
-bool crc_init_done = false;
-
-void crc_init() {
-  if (crc_init_done) return;
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t c = i;
-    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-    crc32_table[i] = c;
+// Table built at load time (constexpr): ctypes calls release the GIL, so a
+// lazily-initialized table guarded by a plain bool is a data race when two
+// serving threads make their first indexio call concurrently — a torn table
+// computes wrong CRCs (spurious "corrupt file" on good data).
+struct Crc32Table {
+  uint32_t t[256];
+  constexpr Crc32Table() : t() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      t[i] = c;
+    }
   }
-  crc_init_done = true;
-}
+};
+constexpr Crc32Table crc32_table;
 
 uint32_t crc32(const uint8_t* data, uint64_t len, uint32_t crc = 0) {
-  crc_init();
   crc = ~crc;
   for (uint64_t i = 0; i < len; ++i)
-    crc = crc32_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    crc = crc32_table.t[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return ~crc;
 }
 

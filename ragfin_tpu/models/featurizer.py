@@ -135,6 +135,16 @@ class HashedFeaturizer:
 
         if not fasthash.available():
             return None
+        # Bit-parity guards vs the Python path: the C ABI passes
+        # NUL-terminated strings (an embedded NUL would truncate the text
+        # natively but not in Python), and Python lowercases BEFORE the
+        # [a-z]+ scan, which maps some Unicode chars to ASCII (e.g. KELVIN
+        # SIGN -> 'k') that the byte-level native scanner would skip.
+        # Lowercasing here makes both paths see the same bytes; NUL texts
+        # fall back to Python.
+        if any("\x00" in t for t in texts):
+            return None
+        texts = [t.lower() for t in texts]
         out = fasthash.featurize_batch(
             texts, self.vocab_size, self.bigram_weight, max_feats=max_feats
         )

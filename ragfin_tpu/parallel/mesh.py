@@ -12,7 +12,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def make_mesh(
@@ -48,12 +48,4 @@ def factor_mesh_shape(n_devices: int, n_axes: int = 2) -> tuple[int, ...]:
     return best + (1,) * (n_axes - 2)
 
 
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
 
-
-def shard_on(mesh: Mesh, axis: str, dim: int, ndim: int) -> NamedSharding:
-    """NamedSharding placing mesh axis ``axis`` on array dimension ``dim``."""
-    spec = [None] * ndim
-    spec[dim] = axis
-    return NamedSharding(mesh, P(*spec))

@@ -56,9 +56,14 @@ class JsonApp:
         self.routes: list[tuple[str, re.Pattern, Handler]] = []
 
     def route(self, method: str, pattern: str):
-        regex = re.compile(
-            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
+        # Escape the literal path segments: an unescaped '.' or '+' in a
+        # route would compile as a regex metachar and over-match.
+        parts = re.split(r"(\{\w+\})", pattern)
+        built = "".join(
+            rf"(?P<{p[1:-1]}>[^/]+)" if p.startswith("{") else re.escape(p)
+            for p in parts
         )
+        regex = re.compile("^" + built + "$")
 
         def register(fn: Handler) -> Handler:
             self.routes.append((method.upper(), regex, fn))
@@ -88,15 +93,18 @@ class JsonApp:
             request.params = {k: unquote(v) for k, v in m.groupdict().items()}
             try:
                 out = fn(request)
+                # Serialization stays INSIDE the try: a non-JSON-serializable
+                # return (e.g. a numpy scalar) must become a 500, not a
+                # dropped connection.
+                if isinstance(out, Response):
+                    return out
+                if isinstance(out, tuple):
+                    return Response.json(out[1], out[0])
+                return Response.json(out)
             except HTTPError as e:
                 return Response.json({"error": e.detail}, e.status)
             except Exception as e:  # failure-to-status at every boundary
                 return Response.json({"error": str(e)}, 500)
-            if isinstance(out, Response):
-                return out
-            if isinstance(out, tuple):
-                return Response.json(out[1], out[0])
-            return Response.json(out)
         return Response.json({"error": f"no route for {request.method} {request.path}"}, 404)
 
 
@@ -113,9 +121,24 @@ def _make_handler(app: JsonApp):
             pass
 
         def _handle(self):
+            try:
+                self._handle_inner()
+            except Exception:
+                # Last-resort guard: a transport-level surprise (malformed
+                # Content-Length, client disconnect mid-write) must not
+                # crash the handler thread without a response attempt.
+                try:
+                    self.send_error(500)
+                except Exception:
+                    pass
+
+        def _handle_inner(self):
             parsed = urlparse(self.path)
             query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = 0
             raw = self.rfile.read(length) if length else b""
             try:
                 body = json.loads(raw) if raw else None

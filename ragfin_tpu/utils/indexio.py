@@ -69,10 +69,13 @@ def write_array(path: str, array: np.ndarray) -> None:
     if lib is None:
         np.save(path + ".npy", arr)
         return
-    payload = arr.tobytes()
+    # Pass the contiguous array's buffer directly — tobytes() would copy
+    # the full payload (15 GB at 10M chunks f32) just to hand it to C.
     rc = lib.ragfin_index_write(
         path.encode(), _DTYPE_CODES[str(arr.dtype)], arr.shape[0],
-        ctypes.c_uint64(arr.shape[1]), payload, ctypes.c_uint64(len(payload)),
+        ctypes.c_uint64(arr.shape[1]),
+        arr.ctypes.data_as(ctypes.c_char_p),
+        ctypes.c_uint64(arr.nbytes),
     )
     if rc != 0:
         raise IndexIOError(f"index write failed rc={rc}")
@@ -114,10 +117,14 @@ def read_array(path: str) -> np.ndarray:
         raise IndexIOError(
             f"index payload_len {plen.value} exceeds file size {fsize}"
         )
-    buf = ctypes.create_string_buffer(plen.value)
-    rc = lib.ragfin_index_read_payload(path.encode(), buf, ctypes.c_uint64(plen.value))
+    # Read straight into the destination array — create_string_buffer +
+    # frombuffer().copy() would hold TWO full payload copies at peak.
+    out = np.empty((rows.value, cols.value), dtype=np_dtype)
+    rc = lib.ragfin_index_read_payload(
+        path.encode(), out.ctypes.data_as(ctypes.c_char_p), ctypes.c_uint64(plen.value)
+    )
     if rc == -7:
         raise IndexIOError("index checksum mismatch (corrupt file)")
     if rc != 0:
         raise IndexIOError(f"index payload read failed rc={rc}")
-    return np.frombuffer(buf, dtype=_CODE_DTYPES[dtype.value]).reshape(rows.value, cols.value).copy()
+    return out

@@ -100,13 +100,22 @@ def main() -> None:
             flush=True,
         )
 
-    _ivf_agreement(idx, qa, out)
-
+    # Write the main results BEFORE the optional IVF arm: a failure there
+    # (e.g. k-means OOM at 1M) must not discard an hour of eval work.
     os.makedirs("eval_results", exist_ok=True)
     path = f"eval_results/distractor_eval_{N}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)
+
+    try:
+        _ivf_agreement(idx, qa, out)
+    except Exception as e:
+        print(f"[ivf] agreement arm failed: {e}", flush=True)
+    else:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, "(with IVF agreement)")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ import numpy as np
 
 N = int(os.environ.get("SERVE_N", 1_000_000))
 DTYPE = os.environ.get("SERVE_DTYPE", "bfloat16")
+REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe_results.log")
 
 
@@ -38,7 +39,7 @@ def main() -> None:
     from ragfin_tpu.retrieval.queryfilter import FilteredSearch
 
     _stage(f"backend={jax.default_backend()}; generating {N} distractors")
-    real = build_corpus("/root/reference/extract_data")
+    real = build_corpus(os.path.join(REF, "extract_data"))
     chunks = list(real) + generate_distractors(N, seed=1)
     _stage("featurizing + building index")
     t0 = time.perf_counter()
@@ -47,7 +48,7 @@ def main() -> None:
     _stage(f"index built in {build_s:.1f}s; warming query shapes")
 
     fs = FilteredSearch(index)
-    qa = load_qa_subset("/root/reference/qa_subset.json")
+    qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
     questions = [q.question for q in qa]
     # Warm: every question once (compiles each filter-shape combination).
     t0 = time.perf_counter()
@@ -61,7 +62,8 @@ def main() -> None:
         t0 = time.perf_counter()
         hits = fs.search_texts([q], top_k=3)[0]
         lat.append(time.perf_counter() - t0)
-        assert hits
+        if not hits:
+            raise RuntimeError(f"no hits for question: {q!r}")
     lat_ms = np.sort(np.array(lat)) * 1e3
     p50, p95 = lat_ms[len(lat_ms) // 2], lat_ms[int(len(lat_ms) * 0.95)]
     line = (

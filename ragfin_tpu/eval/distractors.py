@@ -152,6 +152,169 @@ def generate_distractors(n: int, seed: int = 0, exclude_period_year: int = 2024)
     return out
 
 
+# ---------------------------------------------------------------------------
+# In-scope distractors (round-2 verdict, Weak #1): ICICI-branded FY2024
+# chunks that SURVIVE every FilteredSearch mask (company ∧ period ∧ type) and
+# therefore force the embedder itself to discriminate — the out-of-scope
+# generator above can never reach the candidate set of an FY2024 question,
+# so recall against it measures the filter parser, not retrieval.
+#
+# Three tiers, by how they differ from the real chunk:
+#
+# - ``regen``:  template-regenerated ICICI FY2024 chunks (the same four
+#   analysis formats with fresh random figures). Share the full scope and
+#   template vocabulary; differ in incidental wording richness.
+# - ``reword``: the REAL chunk's text with wording perturbations (synonym
+#   swaps, dropped/injected lines) plus perturbed figures. The hardest
+#   winnable tier: most retrieval tokens are shared with the gold chunk.
+# - ``dupe``:   figure-perturbation ONLY. Honesty note: the featurizer
+#   excludes data-value numbers (decimals, >=5-digit integers) from
+#   retrieval features BY DESIGN (models/featurizer.py:_is_retrieval_token),
+#   so these are near-exact embedding duplicates of the gold chunk — no
+#   text retriever can rank them without external knowledge of the true
+#   figures, and results on this tier measure shortlist/tie-break behavior,
+#   not semantic discrimination. Reported as a separate arm, never mixed
+#   into the headline.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_NUM = _re.compile(r"\d[\d,]*(?:\.\d+)?")
+
+# Wording synonym pools for the reword tier. Keys are matched
+# case-insensitively as whole words; replacement preserves none of the
+# original casing (financial templates are mixed-case already).
+_SYNONYMS: dict[str, list[str]] = {
+    "analysis": ["review", "summary", "overview"],
+    "total": ["aggregate", "overall"],
+    "growth": ["expansion", "increase", "rise"],
+    "composition": ["structure", "mix", "breakdown"],
+    "performance": ["results", "showing"],
+    "customer": ["client"],
+    "key": ["core", "principal"],
+    "metrics": ["indicators", "figures"],
+    "position": ["standing", "base"],
+    "margin": ["spread"],
+    "revenue": ["turnover", "top line"],
+    "profit": ["earnings", "surplus"],
+    "expenses": ["costs", "outgoings"],
+    "quarterly": ["three-month"],
+    "banking": ["bank"],
+}
+
+_NOISE_LINES = [
+    "Provision Coverage Ratio: {p:.1f}%",
+    "Gross NPA: ₹{v:,.0f} crore | Net NPA Ratio: {p:.2f}%",
+    "CASA Ratio: {p:.1f}% of total deposits",
+    "Capital Adequacy (Basel III): {p:.1f}%",
+    "Return on Assets (annualized): {p:.2f}%",
+    "Branch network: {v:,.0f} branches nationwide",
+    "Credit-Deposit Ratio: {p:.1f}%",
+]
+
+
+def _perturb_numbers(text: str, r) -> str:
+    """Scale every numeric literal by ~U(0.8, 1.25), preserving the
+    comma-grouped / decimal formatting of the original."""
+
+    def repl(m):
+        tok = m.group(0)
+        val = float(tok.replace(",", ""))
+        scaled = val * r.uniform(0.8, 1.25)
+        if "." in tok:
+            return f"{scaled:.{len(tok.split('.')[1])}f}"
+        if "," in tok:
+            return f"{scaled:,.0f}"
+        # Plain integer: keep magnitude class (quarter digits, years and
+        # other scope tokens are NOT perturbed — see _perturb_figures).
+        return f"{max(scaled, 0):.0f}"
+
+    return _NUM.sub(repl, text)
+
+
+def _protect_scope_tokens(fn):
+    """Numbers that ARE scope/retrieval keys (Q1..Q4, FY years, 2023/2024
+    date tokens) must survive figure perturbation verbatim, or the chunk
+    would fall out of scope and stop being an in-scope distractor."""
+
+    def wrapped(text: str, r) -> str:
+        protected = {}
+
+        def stash(m):
+            key = f"\x00{len(protected)}\x00"
+            protected[key] = m.group(0)
+            return key
+
+        guarded = _re.sub(r"\b(?:Q[1-4]_FY\d{4}|FY\d{4}|20\d{2}|Q[1-4])\b", stash, text)
+        guarded = fn(guarded, r)
+        for key, tok in protected.items():
+            guarded = guarded.replace(key, tok)
+        return guarded
+
+    return wrapped
+
+
+_perturb_figures = _protect_scope_tokens(_perturb_numbers)
+
+
+def _reword(text: str, r) -> str:
+    """Synonym swaps (p=0.5 each instance), drop one bullet line (p=0.3),
+    inject 1-2 plausible finance lines — then perturb figures."""
+    out = text
+    for word, alts in _SYNONYMS.items():
+        def swap(m):
+            return alts[int(r.integers(0, len(alts)))] if r.uniform() < 0.5 else m.group(0)
+        out = _re.sub(rf"\b{word}\b", swap, out, flags=_re.IGNORECASE)
+    lines = out.split("\n")
+    bullet_rows = [i for i, ln in enumerate(lines) if ln.startswith("•")]
+    if bullet_rows and r.uniform() < 0.3:
+        del lines[bullet_rows[int(r.integers(0, len(bullet_rows)))]]
+    for _ in range(int(r.integers(1, 3))):
+        tmpl = _NOISE_LINES[int(r.integers(0, len(_NOISE_LINES)))]
+        lines.append(tmpl.format(p=r.uniform(0.5, 95), v=r.uniform(100, 60000)))
+    return _perturb_figures("\n".join(lines), r)
+
+
+def generate_inscope_distractors(
+    real_chunks,
+    n: int,
+    seed: int = 0,
+    tiers: tuple = ("regen", "reword"),
+) -> list[IndexedChunk]:
+    """``n`` ICICI FY2024 distractors that survive company ∧ period ∧ type
+    filter masks. ``real_chunks`` are the 16 golden chunks (scaffolds for
+    period/type and, for the reword/dupe tiers, the source text). Tier is
+    assigned round-robin from ``tiers``; pass ``("dupe",)`` for the
+    separately-reported near-duplicate arm."""
+    r = np.random.default_rng(seed)
+    reals = list(real_chunks)
+    out: list[IndexedChunk] = []
+    regen_fns = {ctype: fn for ctype, fn, _ in _TEMPLATES}
+    for i in range(n):
+        tier = tiers[i % len(tiers)]
+        src = reals[int(r.integers(0, len(reals)))]
+        if tier == "regen":
+            text = regen_fns[src.chunk_type]("ICICI Bank", src.period, r)
+        elif tier == "reword":
+            text = _reword(src.text, r)
+        elif tier == "dupe":
+            text = _perturb_figures(src.text, r)
+        else:
+            raise ValueError(f"unknown tier {tier!r}")
+        out.append(
+            IndexedChunk(
+                id=f"inscope_{tier}_{i:06d}_{src.id}",
+                text=text,
+                period=src.period,
+                chunk_type=src.chunk_type,
+                statement_type=src.statement_type,
+                primary_value=float(r.uniform(100, 50000)),
+                company="ICICI Bank",
+            )
+        )
+    return out
+
+
 # Paraphrase probes for the lexical embedder's known failure mode (VERDICT
 # round 1, Weak #3): reworded questions with reduced lexical overlap with
 # the target chunk text. Keyed by qa_subset question id.

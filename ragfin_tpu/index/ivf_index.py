@@ -207,6 +207,19 @@ class IVFVectorIndex:
             meta["featurizer"] = self.featurizer.state_dict()
         if getattr(self, "encoder", None) is not None:
             meta["encoder"] = self.encoder.state_dict()
+        # A fine-tuned projection table cannot be regenerated from the seed
+        # (mirrors DeviceVectorIndex.save); without it load() would raise and
+        # the engine would silently rebuild with an untuned encoder. The
+        # encoder may live standalone (self.encoder) or inside the hashed
+        # embedder — either way there is at most one distinct tuned table.
+        for enc in (getattr(self, "encoder", None),
+                    getattr(embedder, "encoder", None) if embedder is not None else None):
+            if enc is not None and getattr(enc, "tuned", False):
+                np.save(
+                    os.path.join(directory, "encoder_table.npy"),
+                    np.asarray(enc.table, np.float32),
+                )
+                break
         with open(os.path.join(directory, "ivf.json"), "w") as f:
             json.dump(meta, f, ensure_ascii=False)
 
@@ -232,10 +245,14 @@ class IVFVectorIndex:
         )
         records = [IndexedChunk(**r) for r in meta["records"]]
         out = cls(ivf, records, nprobe=int(meta["nprobe"]), name=meta.get("name", "fin_chunks_ivf"))
+        tpath = os.path.join(directory, "encoder_table.npy")
+        table = jnp.asarray(np.load(tpath)) if os.path.exists(tpath) else None
         if "hashed_embedder" in meta:
             from ..models.embedder import HashedEmbedder
 
-            out.embedder = HashedEmbedder.from_state_dict(meta["hashed_embedder"])
+            out.embedder = HashedEmbedder.from_state_dict(
+                meta["hashed_embedder"], encoder_table=table
+            )
         if "featurizer" in meta:
             from ..models.featurizer import HashedFeaturizer
 
@@ -243,5 +260,5 @@ class IVFVectorIndex:
         if "encoder" in meta:
             from ..models.bag_encoder import BagEncoder
 
-            out.encoder = BagEncoder.from_state_dict(meta["encoder"])
+            out.encoder = BagEncoder.from_state_dict(meta["encoder"], table=table)
         return out

@@ -210,6 +210,17 @@ def build_ivf(
         )
         return np.concatenate([assign_real, np.repeat(np.arange(n_cells), free)])
 
+    def means_segments(assign_np: np.ndarray) -> jax.Array:
+        # For centroid means, corpus zero-pad columns go to the DUMP slot
+        # (id n_cells) — their tail-cell assignment is only for the
+        # permutation; counting them as members would dilute tail-cell
+        # centroid magnitudes and under-score those cells at probe time.
+        seg = assign_np.copy()
+        seg[n:] = n_cells
+        return jnp.asarray(
+            np.concatenate([seg, np.full(scan_pad, n_cells, np.int64)])
+        )
+
     # Pick the scan block as a whole number of cells that DIVIDES n_pad:
     # a non-dividing block would need the corpus padded to the scan grid —
     # a full second copy of the corpus (7.7 GB at 10M bf16, an HBM OOM).
@@ -228,10 +239,7 @@ def build_ivf(
     assign_np = None
     for it in range(max(iters, 1)):
         if it:
-            seg = jnp.asarray(
-                np.concatenate([assign_np, np.full(scan_pad, n_cells, np.int64)])
-            )
-            centroids = _cell_means(ct_scan, seg, n_cells, block_cols)
+            centroids = _cell_means(ct_scan, means_segments(assign_np), n_cells, block_cols)
         ts, ti = _candidate_cells(ct_scan, centroids, topc, block_cols)
         ts_np = np.asarray(ts[:n])
         ti_np = np.asarray(ti[:n])
@@ -247,8 +255,7 @@ def build_ivf(
 
     # Final centroids from the final assignment (pre-permutation order —
     # the permutation only reorders points within the same cell structure).
-    seg = jnp.asarray(np.concatenate([assign_np, np.full(scan_pad, n_cells, np.int64)]))
-    centroids = _cell_means(ct_scan, seg, n_cells, block_cols)
+    centroids = _cell_means(ct_scan, means_segments(assign_np), n_cells, block_cols)
     del ct_scan
 
     # Quantize BEFORE the permutation gather so the 10M-scale gather happens

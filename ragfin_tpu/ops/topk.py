@@ -479,6 +479,11 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     q, d = queries.shape
     tiled = corpus_t.ndim == 3  # [n_tiles, D, block_n] tile-major layout
     if tiled:
+        if n_valid is None:
+            # The true N is unrecoverable from the tiled shape: the layout's
+            # zero-pad columns would score 0.0 and outrank negative-score
+            # real hits, silently returning ids >= the true corpus size.
+            raise ValueError("a tile-major [n_tiles, D, block_n] corpus requires n_valid")
         block_n = corpus_t.shape[2]
         n = corpus_t.shape[0] * block_n
     else:
@@ -672,6 +677,8 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
     q, d = queries.shape
     tiled = corpus_i8.ndim == 3  # [n_tiles, D, block_n] tile-major layout
     if tiled:
+        if n_valid is None:
+            raise ValueError("a tile-major [n_tiles, D, block_n] corpus requires n_valid")
         block_n = corpus_i8.shape[2]
         n = corpus_i8.shape[0] * block_n
     else:

@@ -100,13 +100,16 @@ class RagFinEngine:
                 from ..index.ivf_index import IVFVectorIndex
 
                 return IVFVectorIndex.load(index_dir)
-            except Exception:
-                pass
+            except Exception as e:
+                # Falling through rebuilds a default (flat, untuned) index —
+                # corruption or a missing tuned-projection table would
+                # otherwise degrade retrieval quality with no trace.
+                logger.warning("IVF index load failed from %s (%s); rebuilding", index_dir, e)
         if index_dir and os.path.exists(os.path.join(index_dir, "index.json")):
             try:
                 return DeviceVectorIndex.load(index_dir)
-            except Exception:
-                pass
+            except Exception as e:
+                logger.warning("index load failed from %s (%s); rebuilding", index_dir, e)
         embedder = None
         if self.settings.embed_backend != "hashed":
             from ..models.embedder import make_embedder

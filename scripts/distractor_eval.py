@@ -21,6 +21,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 N = int(os.environ.get("DISTRACTOR_N", 1_000_000))
+# Round-2 verdict Weak #1: out-of-scope distractors can never enter an
+# FY2024 question's candidate set (the company ∧ period masks remove them
+# before scoring), so the arms above measure the filter parser. The
+# IN-SCOPE arms add ICICI-FY2024 perturbed negatives that survive every
+# mask and force the embedder to discriminate.
+INSCOPE_N = int(os.environ.get("INSCOPE_N", 20_000))
+DUPE_N = int(os.environ.get("DUPE_N", 1_024))
 REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
 
@@ -66,7 +73,11 @@ def _ivf_agreement(idx, qa, out):
 def main() -> None:
     from ragfin_tpu.data.loader import build_corpus
     from ragfin_tpu.eval.datasets import load_qa_subset, load_vector_eval
-    from ragfin_tpu.eval.distractors import generate_distractors, paraphrased_questions
+    from ragfin_tpu.eval.distractors import (
+        generate_distractors,
+        generate_inscope_distractors,
+        paraphrased_questions,
+    )
     from ragfin_tpu.eval.harness import evaluate_retrieval
     from ragfin_tpu.index.vector_index import DeviceVectorIndex
     from ragfin_tpu.retrieval.queryfilter import FilteredSearch
@@ -107,6 +118,66 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)
+
+    # ---- IN-SCOPE arms: the retrieval gate that the filters cannot win ----
+    if INSCOPE_N:
+        inscope = generate_inscope_distractors(real, INSCOPE_N, seed=11)
+        idx_in = DeviceVectorIndex.build(list(real) + dis + inscope)
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] in-scope index built: "
+            f"{len(idx_in):,} chunks ({INSCOPE_N:,} in-scope regen+reword)",
+            flush=True,
+        )
+        fs_in = FilteredSearch(idx_in)
+        out["n_inscope"] = INSCOPE_N
+        for name, questions, k in [
+            ("qa_subset_k3_inscope", qa, 3),
+            ("qa_subset_k10_inscope", qa, 10),
+            ("paraphrases_k10_inscope", paraphrased_questions(qa), 10),
+        ]:
+            t = time.perf_counter()
+            s = evaluate_retrieval(fs_in, questions, k=k).summary()
+            s["wall_s"] = round(time.perf_counter() - t, 2)
+            out["results"][name] = s
+            print(
+                f"[{time.perf_counter()-t0:7.1f}s] {name}: "
+                f"recall={s['retrieval_recall']['mean']:.3f} "
+                f"precision={s['retrieval_precision']['mean']:.3f} "
+                f"zero={s['zero_recall_queries']}",
+                flush=True,
+            )
+        del idx_in, fs_in
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, "(with in-scope arms)")
+
+    # ---- near-duplicate arm (reported separately, honest caveat) ----------
+    if DUPE_N:
+        dupes = generate_inscope_distractors(real, DUPE_N, seed=13, tiers=("dupe",))
+        idx_dupe = DeviceVectorIndex.build(list(real) + dupes)
+        s = evaluate_retrieval(FilteredSearch(idx_dupe), qa, k=10).summary()
+        out["results"]["qa_subset_k10_neardupe"] = {
+            **s,
+            "caveat": (
+                "dupe-tier distractors perturb ONLY data-value figures, which "
+                "the featurizer excludes from retrieval features by design "
+                "(models/featurizer.py:_is_retrieval_token) — they are "
+                "near-exact embedding duplicates of the gold chunks, "
+                "unrankable by any text retriever without external knowledge "
+                "of the true figures. This arm measures shortlist/tie-break "
+                "behavior, not semantic discrimination."
+            ),
+        }
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] qa_subset_k10_neardupe "
+            f"({DUPE_N} figure-only dupes): "
+            f"recall={s['retrieval_recall']['mean']:.3f}",
+            flush=True,
+        )
+        del idx_dupe
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, "(with near-dupe arm)")
 
     try:
         _ivf_agreement(idx, qa, out)

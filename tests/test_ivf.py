@@ -163,6 +163,38 @@ class TestSearch:
         s2, i2 = back.search_embeddings(q, top_k=5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
 
+    def test_ivf_tuned_encoder_roundtrip(self, tmp_path):
+        """A fine-tuned projection table must survive IVF save/load: the
+        table cannot be regenerated from the seed, and before the round-3
+        fix load() raised and the engine silently rebuilt untuned."""
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.models.bag_encoder import BagEncoder, init_table
+
+        base = BagEncoder()
+        rng = np.random.default_rng(7)
+        tuned_table = np.asarray(base.table) + 0.01 * rng.standard_normal(
+            (base.vocab_size, base.dim)
+        ).astype(np.float32)
+        tuned = BagEncoder(table=jnp.asarray(tuned_table))
+        assert tuned.tuned
+
+        dense = DeviceVectorIndex.build(
+            build_corpus("/root/reference/extract_data"), encoder=tuned
+        )
+        ivf = IVFVectorIndex.from_dense(dense, cell=8, nprobe=8, iters=2)
+        hits = ivf.search_texts(["net profit Q1 FY2024"], top_k=3)[0]
+
+        ivf.save(str(tmp_path / "ivf_tuned"))
+        back = IVFVectorIndex.load(str(tmp_path / "ivf_tuned"))
+        assert back.encoder is not None and back.encoder.tuned
+        np.testing.assert_array_equal(
+            np.asarray(back.encoder.table), np.asarray(tuned.table)
+        )
+        h2 = back.search_texts(["net profit Q1 FY2024"], top_k=3)[0]
+        assert [h.id for h in h2] == [h.id for h in hits]
+
     def test_query_count_not_block_multiple(self, clustered):
         q, ct = clustered
         idx = build_ivf(jnp.asarray(ct), cell=256, iters=1)

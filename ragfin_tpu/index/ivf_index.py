@@ -133,10 +133,17 @@ class IVFVectorIndex:
     ):
         from .vector_index import SearchHit
 
+        queries = list(queries)
+        if getattr(self.embedder, "backend", "hashed") == "hashed" and (
+            self.featurizer is not None or self.embedder is not None
+        ):
+            from ..models.synonyms import expand_queries
+
+            queries = expand_queries(queries)
         if self.embedder is not None:
-            q = self.embedder.encode_texts(list(queries))
+            q = self.embedder.encode_texts(queries)
         elif self.featurizer is not None and self.encoder is not None:
-            ids, wts = self.featurizer.encode_batch(list(queries))
+            ids, wts = self.featurizer.encode_batch(queries)
             q = self.encoder.encode(ids, wts)
         else:
             raise ValueError("no embedder attached; use search_embeddings")

@@ -211,6 +211,107 @@ class DeviceVectorIndex:
         out[: len(self.records)] = mask
         return out
 
+    def integrity_column(self) -> np.ndarray:
+        """Per-chunk figure-consistency multipliers (weight-1), padded to the
+        device matrix width with ones. Computed once (lazily) per corpus —
+        ~14k chunks/s host-side, so a 1M-chunk index pays ~70 s on the first
+        integrity-weighted query (or at build time via ``precompute``)."""
+        cached = getattr(self, "_integrity_col", None)
+        width = self.matrix_t.shape[1]
+        if cached is None or len(cached) != width:
+            from ..retrieval.consistency import consistency_checks
+
+            vals = np.ones(width, np.float32)
+            for i, r in enumerate(self.records):
+                p, c = consistency_checks(r.text)
+                if c:
+                    vals[i] = p / c
+            self._integrity_col = vals
+            cached = vals
+        return cached
+
+    # Largest filtered candidate set served by the exact-sparse host path;
+    # bigger buckets go through the device JL projection as usual.
+    exact_bucket_max = 65536
+
+    def _bucket_postings(self, rows: np.ndarray, key):
+        """Inverted postings over one filter bucket's exact TF-IDF vectors
+        (cached per filter key — buckets repeat across queries/tiers)."""
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+        entry = cache.get(key)
+        if entry is not None:
+            return entry
+        texts = [self.records[int(r)].text for r in rows]
+        ids, wts = self.featurizer.encode_batch(texts)
+        norms = np.linalg.norm(wts, axis=1, keepdims=True)
+        wts = (wts / np.maximum(norms, 1e-12)).astype(np.float32)
+        doc_idx = np.repeat(np.arange(len(rows), dtype=np.int32), ids.shape[1])
+        flat_ids = ids.ravel()
+        flat_w = wts.ravel()
+        nz = flat_w != 0
+        flat_ids, flat_w, doc_idx = flat_ids[nz], flat_w[nz], doc_idx[nz]
+        order = np.argsort(flat_ids, kind="stable")
+        flat_ids, flat_w, doc_idx = flat_ids[order], flat_w[order], doc_idx[order]
+        uniq, starts = np.unique(flat_ids, return_index=True)
+        bounds = np.append(starts, flat_ids.size)
+        lookup = {int(f): (int(s), int(e)) for f, s, e in zip(uniq, bounds[:-1], bounds[1:])}
+        entry = (rows, lookup, flat_w, doc_idx)
+        if len(cache) > 64:  # bound memory across many distinct plans
+            cache.clear()
+        cache[key] = entry
+        return entry
+
+    def _exact_bucket_search(
+        self, queries, rows, key, top_k, consistency_weight, consistency_strict
+    ):
+        """Exact sparse TF-IDF cosine over a (small) filtered bucket.
+
+        Inside a metadata-scoped bucket of near-duplicates the device JL
+        projection's noise (~1/sqrt(384) ≈ 0.05) exceeds the true score
+        gaps, so a JL shortlist of ANY practical width can miss the gold
+        document entirely — scoring the bucket in the true TF-IDF space is
+        both exact and cheap (the bucket is orders of magnitude smaller than
+        the corpus). Integrity gating applies multiplicatively as in the
+        device path."""
+        from ..retrieval.consistency import strictify
+
+        rows_arr, lookup, flat_w, doc_idx = self._bucket_postings(rows, key)
+        mult = None
+        if consistency_weight > 0:
+            col = self.integrity_column()[rows_arr]
+            if consistency_strict:
+                mult = strictify(col, consistency_weight).astype(np.float32)
+            else:
+                mult = (1.0 - consistency_weight * (1.0 - col)).astype(np.float32)
+        qids, qwts = self.featurizer.encode_batch(list(queries))
+        qnorm = np.linalg.norm(qwts, axis=1, keepdims=True)
+        qwts = qwts / np.maximum(qnorm, 1e-12)
+        out = []
+        for qi in range(len(queries)):
+            scores = np.zeros(len(rows_arr), np.float32)
+            for fid, w in zip(qids[qi], qwts[qi]):
+                if not w:
+                    continue
+                se = lookup.get(int(fid))
+                if se is None:
+                    continue
+                s, e = se
+                np.add.at(scores, doc_idx[s:e], flat_w[s:e] * np.float32(w))
+            if mult is not None:
+                scores = np.where(scores > 0, scores * mult, scores)
+            k = min(top_k, scores.size)
+            part = np.argpartition(-scores, k - 1)[:k] if scores.size > k else np.arange(scores.size)
+            order = part[np.lexsort((rows_arr[part], -scores[part]))]
+            hits = []
+            for rank, li in enumerate(order):
+                hits.append(
+                    SearchHit(float(scores[li]), self.records[int(rows_arr[li])], rank)
+                )
+            out.append(hits)
+        return out
+
     def _sparse_rerank(self, query: str, hits: list, top_k: int) -> list:
         """Exact sparse TF-IDF cosine re-rank of a device shortlist.
 
@@ -254,6 +355,9 @@ class DeviceVectorIndex:
         periods: Optional[Sequence[str]] = None,
         company: Optional[str] = None,
         rerank: int = 0,
+        consistency_weight: float = 0.0,
+        consistency_strict: bool = True,
+        query_expansion: bool = True,
     ) -> list[list[SearchHit]]:
         """Encode query texts with the index's featurizer+encoder and search.
 
@@ -266,12 +370,27 @@ class DeviceVectorIndex:
         dominates ranking among near-duplicates at large corpus scale.
         Filtered searches on a quantized index run through the dense path
         over the dequantized matrix.
+
+        ``consistency_weight > 0`` adds a final figure-consistency re-rank
+        over the (sparse-reranked) shortlist: similarity is scaled by how
+        well a chunk's self-declared arithmetic ties out
+        (retrieval/consistency.py) — the defense against in-scope
+        figure-tampered near-duplicates that metadata filters cannot reject.
         """
         embedder = getattr(self, "embedder", None)
+        queries = list(queries)
+        hashed = getattr(embedder, "backend", "hashed") == "hashed"
+        if query_expansion and hashed and self.featurizer is not None:
+            # Query-side financial-idiom expansion (models/synonyms.py):
+            # paraphrased questions gain the statement vocabulary their
+            # idioms denote. Documents are never expanded.
+            from ..models.synonyms import expand_queries
+
+            queries = expand_queries(queries)
         if embedder is not None:
-            q = embedder.encode_texts(list(queries))
+            q = embedder.encode_texts(queries)
         elif self.featurizer is not None and self.encoder is not None:
-            ids, wts = self.featurizer.encode_batch(list(queries))
+            ids, wts = self.featurizer.encode_batch(queries)
             q = self.encoder.encode(ids, wts)
         else:
             raise ValueError(
@@ -282,7 +401,46 @@ class DeviceVectorIndex:
         mask = self._filter_mask(
             period, chunk_type, predicate, periods=periods, company=company
         )
-        if mask is not None:
+        if (
+            consistency_weight > 0
+            and mask is not None
+            and predicate is None
+            and self.featurizer is not None
+        ):
+            # Integrity mode + a filter bucket: score the bucket EXACTLY in
+            # the true sparse TF-IDF space (see _exact_bucket_search — the
+            # JL shortlist is structurally unreliable among scoped
+            # near-duplicates). Falls through to the device path for
+            # oversized buckets.
+            bucket_rows = np.nonzero(mask[: len(self.records)])[0]
+            if 0 < bucket_rows.size <= self.exact_bucket_max:
+                key = (
+                    tuple(sorted(periods)) if periods else period,
+                    chunk_type,
+                    company,
+                )
+                return self._exact_bucket_search(
+                    list(queries), bucket_rows, key, top_k,
+                    consistency_weight, consistency_strict,
+                )
+        score_mult = None
+        if consistency_weight > 0:
+            # Integrity-weighted candidate generation: scale positive
+            # similarities by the chunk's consistency multiplier ON DEVICE,
+            # before selection — a tampered near-duplicate then loses at
+            # fetch time instead of requiring a shortlist wider than the
+            # forgery cluster. Runs through the dense path (the weighting
+            # fuses into the matmul epilogue).
+            col = self.integrity_column()
+            if consistency_strict:
+                from ..retrieval.consistency import strictify
+
+                score_mult = jnp.asarray(
+                    strictify(col, consistency_weight).astype(np.float32)
+                )
+            else:
+                score_mult = jnp.asarray(1.0 - consistency_weight * (1.0 - col))
+        if mask is not None or score_mult is not None:
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_int8
 
@@ -292,7 +450,8 @@ class DeviceVectorIndex:
                     self.scales,
                     min(fetch_k, max(self.n, 1)),
                     n_valid=self.n,
-                    row_mask=jnp.asarray(mask),
+                    row_mask=None if mask is None else jnp.asarray(mask),
+                    score_mult=score_mult,
                 )
             else:
                 from ..ops.topk import cosine_topk_dense
@@ -302,7 +461,8 @@ class DeviceVectorIndex:
                     self.matrix_t,
                     min(fetch_k, max(self.n, 1)),
                     n_valid=self.n,
-                    row_mask=jnp.asarray(mask),
+                    row_mask=None if mask is None else jnp.asarray(mask),
+                    score_mult=score_mult,
                 )
         else:
             scores, rows = self.search_embeddings(q, top_k=fetch_k, method=method)
@@ -316,9 +476,27 @@ class DeviceVectorIndex:
                 if row >= self.n or not np.isfinite(scores[qi, rank]):
                     continue
                 hits.append(SearchHit(float(scores[qi, rank]), self.records[row], rank))
+            # With a consistency stage downstream, the sparse re-rank must
+            # hand over a WIDE shortlist: the gold document can sit below
+            # dozens of tampered near-duplicates on pure similarity, and a
+            # top_k-truncated handoff would drop it before the consistency
+            # evidence is consulted.
+            keep = top_k if consistency_weight <= 0 else len(hits)
             if rerank:
                 # No-op for semantic (featurizer-less) backends.
-                hits = self._sparse_rerank(queries[qi], hits, top_k)
+                hits = self._sparse_rerank(queries[qi], hits, keep)
+            else:
+                hits = hits[:keep]
+            if consistency_weight > 0:
+                from ..retrieval.consistency import consistency_rerank
+
+                cache = getattr(self, "_consistency_cache", None)
+                if cache is None:
+                    cache = self._consistency_cache = {}
+                hits = consistency_rerank(
+                    hits, top_k, weight=consistency_weight, cache=cache,
+                    strict=consistency_strict,
+                )
             else:
                 hits = hits[:top_k]
             out.append(hits)

@@ -60,9 +60,19 @@ _PRECISIONS = {
 
 
 def _score_mask(
-    scores: jax.Array, n_valid, row_mask: Optional[jax.Array] = None
+    scores: jax.Array,
+    n_valid,
+    row_mask: Optional[jax.Array] = None,
+    score_mult: Optional[jax.Array] = None,
 ) -> jax.Array:
     n = scores.shape[-1]
+    if score_mult is not None:
+        # Per-column score weighting (integrity-weighted retrieval,
+        # retrieval/consistency.py): positive similarities are scaled by the
+        # column's multiplier in (0, 1]; negatives are left alone — shrinking
+        # a negative score toward 0 would RAISE it past unweighted columns.
+        m = score_mult[:n][None, :].astype(scores.dtype)
+        scores = jnp.where(scores > 0, scores * m, scores)
     if n_valid is not None and not (isinstance(n_valid, int) and n_valid >= n):
         ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
         scores = jnp.where(ids < n_valid, scores, NEG_INF)
@@ -90,11 +100,16 @@ def cosine_topk_dense(
     n_valid: Optional[int] = None,
     precision: str = "exact",
     row_mask: Optional[jax.Array] = None,
+    score_mult: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Reference implementation: full [Q, N] scores then ``lax.top_k``.
 
     ``row_mask`` [N] bool enables metadata-filtered search (the Milvus
     filter-expression capability, e.g. restrict to one period/chunk_type).
+    ``score_mult`` [N] float scales positive similarities per column BEFORE
+    selection (integrity-weighted retrieval) — XLA fuses it into the matmul
+    epilogue, so tampered near-duplicates lose at candidate-generation time
+    rather than needing an oversized host re-rank shortlist.
     """
     scores = jnp.dot(
         queries,
@@ -102,7 +117,7 @@ def cosine_topk_dense(
         preferred_element_type=jnp.float32,
         precision=_PRECISIONS[precision],
     )
-    scores = _score_mask(scores, n_valid, row_mask)
+    scores = _score_mask(scores, n_valid, row_mask, score_mult)
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids.astype(jnp.int32)
 
@@ -115,6 +130,7 @@ def cosine_topk_dense_int8(
     k: int,
     n_valid=None,
     row_mask: Optional[jax.Array] = None,
+    score_mult: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense scoring over the int8 corpus WITHOUT dequantizing it in HBM:
     int8×int8 MXU matmul with int32 accumulation, per-column dequant of the
@@ -128,7 +144,7 @@ def cosine_topk_dense_int8(
         q8, corpus_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     scores = int_scores.astype(jnp.float32) * qscale * scales
-    scores = _score_mask(scores, n_valid, row_mask)
+    scores = _score_mask(scores, n_valid, row_mask, score_mult)
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids.astype(jnp.int32)
 

@@ -250,10 +250,15 @@ class ShardedVectorIndex:
         # Mirror DeviceVectorIndex.search_texts: prefer the semantic embedder
         # when the source index carried one (featurizer/encoder are None then).
         embedder = getattr(self, "embedder", None)
+        queries = list(queries)
+        if getattr(embedder, "backend", "hashed") == "hashed":
+            from ..models.synonyms import expand_queries
+
+            queries = expand_queries(queries)
         if embedder is not None:
-            q = embedder.encode_texts(list(queries))
+            q = embedder.encode_texts(queries)
         elif self.featurizer is not None and self.encoder is not None:
-            ids, wts = self.featurizer.encode_batch(list(queries))
+            ids, wts = self.featurizer.encode_batch(queries)
             q = self.encoder.encode(ids, wts)
         else:
             raise ValueError(

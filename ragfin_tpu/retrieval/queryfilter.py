@@ -146,11 +146,17 @@ class FilteredSearch:
         rerank: int = 64,
         use_type_hint: bool = True,
         default_company: Optional[str] = "ICICI Bank",
+        consistency_weight: float = 0.0,
     ):
         self.index = index
         self.rerank = rerank
         self.use_type_hint = use_type_hint
         self.default_company = default_company
+        # Figure-consistency re-rank weight (retrieval/consistency.py):
+        # similarity is scaled by how well a chunk's self-declared arithmetic
+        # ties out. Defense against in-scope figure-tampered near-duplicates
+        # that survive every metadata mask.
+        self.consistency_weight = consistency_weight
 
     def _vocab(self):
         cached = getattr(self, "_vocab_cache", None)
@@ -266,12 +272,17 @@ class FilteredSearch:
                 if not active:
                     break
                 qs = [queries[i] for i in active]
+                extra = {}
+                if self.consistency_weight > 0 and getattr(
+                    self.index, "supports_filters", False
+                ):
+                    extra["consistency_weight"] = self.consistency_weight
                 lists_per_tier = [
                     # Caller-supplied filters (**kwargs) compose with — and
                     # override — the tier-derived ones.
                     self.index.search_texts(
                         qs, top_k=top_k, method=method,
-                        rerank=self.rerank, **{**flt, **kwargs},
+                        rerank=self.rerank, **{**extra, **flt, **kwargs},
                     )
                     for flt in group
                 ]

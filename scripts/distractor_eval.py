@@ -27,7 +27,6 @@ N = int(os.environ.get("DISTRACTOR_N", 1_000_000))
 # IN-SCOPE arms add ICICI-FY2024 perturbed negatives that survive every
 # mask and force the embedder to discriminate.
 INSCOPE_N = int(os.environ.get("INSCOPE_N", 20_000))
-DUPE_N = int(os.environ.get("DUPE_N", 1_024))
 REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
 
@@ -119,65 +118,73 @@ def main() -> None:
         json.dump(out, f, indent=2)
     print("wrote", path)
 
-    # ---- IN-SCOPE arms: the retrieval gate that the filters cannot win ----
-    if INSCOPE_N:
-        inscope = generate_inscope_distractors(real, INSCOPE_N, seed=11)
-        idx_in = DeviceVectorIndex.build(list(real) + dis + inscope)
+    # ---- IN-SCOPE arms: negatives that survive every filter mask ----------
+    # Tiers (eval/distractors.py): 'reword'/'dupe' = figure/wording TAMPERING
+    # of the gold chunks — detectable via in-text arithmetic
+    # (retrieval/consistency.py), so the defended pipeline
+    # (consistency_weight=0.95) must hold recall near the clean ceiling.
+    # 'regen' = internally-consistent FABRICATIONS — conflicting evidence
+    # that no text-only retriever can resolve without provenance; reported
+    # as the documented impossibility bound, not a headline.
+    def run_arm(name, questions, searcher, k):
+        t = time.perf_counter()
+        s = evaluate_retrieval(searcher, questions, k=k).summary()
+        s["wall_s"] = round(time.perf_counter() - t, 2)
+        out["results"][name] = s
         print(
-            f"[{time.perf_counter()-t0:7.1f}s] in-scope index built: "
-            f"{len(idx_in):,} chunks ({INSCOPE_N:,} in-scope regen+reword)",
+            f"[{time.perf_counter()-t0:7.1f}s] {name}: "
+            f"recall={s['retrieval_recall']['mean']:.3f} "
+            f"zero={s['zero_recall_queries']}",
             flush=True,
         )
-        fs_in = FilteredSearch(idx_in)
+        return s
+
+    if INSCOPE_N:
         out["n_inscope"] = INSCOPE_N
-        for name, questions, k in [
-            ("qa_subset_k3_inscope", qa, 3),
-            ("qa_subset_k10_inscope", qa, 10),
-            ("paraphrases_k10_inscope", paraphrased_questions(qa), 10),
-        ]:
-            t = time.perf_counter()
-            s = evaluate_retrieval(fs_in, questions, k=k).summary()
-            s["wall_s"] = round(time.perf_counter() - t, 2)
-            out["results"][name] = s
+        para = paraphrased_questions(qa)
+        for tag, tiers in [("tamper", ("reword", "dupe")), ("fabrication", ("regen",))]:
+            ins = generate_inscope_distractors(real, INSCOPE_N, seed=11, tiers=tiers)
+            idx_in = DeviceVectorIndex.build(list(real) + dis + ins)
             print(
-                f"[{time.perf_counter()-t0:7.1f}s] {name}: "
-                f"recall={s['retrieval_recall']['mean']:.3f} "
-                f"precision={s['retrieval_precision']['mean']:.3f} "
-                f"zero={s['zero_recall_queries']}",
+                f"[{time.perf_counter()-t0:7.1f}s] {tag} index built: "
+                f"{len(idx_in):,} chunks ({INSCOPE_N:,} in-scope {'/'.join(tiers)})",
                 flush=True,
             )
-        del idx_in, fs_in
-        with open(path, "w") as f:
-            json.dump(out, f, indent=2)
-        print("wrote", path, "(with in-scope arms)")
-
-    # ---- near-duplicate arm (reported separately, honest caveat) ----------
-    if DUPE_N:
-        dupes = generate_inscope_distractors(real, DUPE_N, seed=13, tiers=("dupe",))
-        idx_dupe = DeviceVectorIndex.build(list(real) + dupes)
-        s = evaluate_retrieval(FilteredSearch(idx_dupe), qa, k=10).summary()
-        out["results"]["qa_subset_k10_neardupe"] = {
-            **s,
-            "caveat": (
-                "dupe-tier distractors perturb ONLY data-value figures, which "
-                "the featurizer excludes from retrieval features by design "
-                "(models/featurizer.py:_is_retrieval_token) — they are "
-                "near-exact embedding duplicates of the gold chunks, "
-                "unrankable by any text retriever without external knowledge "
-                "of the true figures. This arm measures shortlist/tie-break "
-                "behavior, not semantic discrimination."
+            undefended = FilteredSearch(idx_in)
+            defended = FilteredSearch(idx_in, consistency_weight=0.95)
+            run_arm(f"qa_k10_inscope_{tag}_undefended", qa, undefended, 10)
+            run_arm(f"qa_k3_inscope_{tag}", qa, defended, 3)
+            run_arm(f"qa_k10_inscope_{tag}", qa, defended, 10)
+            if tag == "tamper":
+                run_arm(f"paraphrases_k10_inscope_{tag}", para, defended, 10)
+            del idx_in, undefended, defended
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
+            print("wrote", path, f"(with in-scope {tag} arms)")
+        out["results"]["inscope_notes"] = {
+            "tamper": (
+                "reword/dupe tiers perturb the gold chunks' figures (and "
+                "wording); every perturbed copy survives the company/period/"
+                "type masks. Defended arms use consistency_weight=0.95: "
+                "in-text arithmetic (declared shares, named ratios, subset "
+                "sums, EPS band) gates figure-tampered copies at both device "
+                "candidate generation and final ranking "
+                "(ragfin_tpu/retrieval/consistency.py)."
+            ),
+            "fabrication": (
+                "regen tier fabricates internally-consistent ICICI-FY2024 "
+                "statements with fresh random figures. These are conflicting "
+                "evidence, not noise: without provenance/authority metadata "
+                "NO text-only retriever (lexical or semantic) can identify "
+                "the authentic chunk among N co-scoped self-consistent "
+                "claims — expected recall decays toward chance with N. The "
+                "production answer is source provenance, which IndexedChunk "
+                "carries (id/company fields) but this adversary is allowed "
+                "to forge."
             ),
         }
-        print(
-            f"[{time.perf_counter()-t0:7.1f}s] qa_subset_k10_neardupe "
-            f"({DUPE_N} figure-only dupes): "
-            f"recall={s['retrieval_recall']['mean']:.3f}",
-            flush=True,
-        )
-        del idx_dupe
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
-        print("wrote", path, "(with near-dupe arm)")
 
     try:
         _ivf_agreement(idx, qa, out)

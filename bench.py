@@ -81,15 +81,9 @@ def worker_main() -> None:
 
     # Persistent compilation cache: a successful compile survives process
     # restarts, so a short healthy tunnel window is enough for later runs.
-    # TPU-only: CPU AOT entries are machine-feature-specific and the loader
-    # warns/SIGILLs on mismatch.
-    try:
-        if jax.default_backend() == "tpu":
-            cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # cache is best-effort
-        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+    from ragfin_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ragfin_tpu.ops.quantize import quantize_corpus_t
     from ragfin_tpu.ops.topk import cosine_topk_fused, cosine_topk_fused_int8

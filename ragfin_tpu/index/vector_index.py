@@ -466,6 +466,15 @@ class DeviceVectorIndex:
                 )
         else:
             scores, rows = self.search_embeddings(q, top_k=fetch_k, method=method)
+        return self._postprocess_device_hits(
+            queries, scores, rows, top_k, rerank, consistency_weight, consistency_strict
+        )
+
+    def _postprocess_device_hits(
+        self, queries, scores, rows, top_k, rerank, consistency_weight, consistency_strict
+    ):
+        """Device shortlist → SearchHit lists: validity filter, optional
+        exact sparse re-rank, optional consistency re-rank."""
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         out = []
@@ -501,6 +510,120 @@ class DeviceVectorIndex:
                 hits = hits[:top_k]
             out.append(hits)
         return out
+
+    def _integrity_mult(self, consistency_weight: float, consistency_strict: bool):
+        col = self.integrity_column()
+        if consistency_strict:
+            from ..retrieval.consistency import strictify
+
+            return jnp.asarray(strictify(col, consistency_weight).astype(np.float32))
+        return jnp.asarray(1.0 - consistency_weight * (1.0 - col))
+
+    def search_texts_tiers(
+        self,
+        queries: Sequence[str],
+        tier_filters: Sequence[dict],
+        top_k: int = 3,
+        method: str = "auto",
+        rerank: int = 0,
+        consistency_weight: float = 0.0,
+        consistency_strict: bool = True,
+        query_expansion: bool = True,
+    ) -> list[list[list["SearchHit"]]]:
+        """All filter tiers of a query group in ONE device dispatch.
+
+        Equivalent to ``[search_texts(queries, **f) for f in tier_filters]``
+        but the [Q, N] score matrix is computed once and every tier's mask +
+        top-k runs in the same device program (ops/topk.py
+        cosine_topk_dense_multi) — serving latency through the axon tunnel
+        is dispatch-bound (~40-80 ms per round trip), so tier count no
+        longer multiplies it. Integrity-mode tiers whose filter bucket is
+        small are answered by the host exact-sparse path (zero dispatches),
+        exactly as in ``search_texts``.
+        """
+        if any(f.get("predicate") is not None for f in tier_filters):
+            return [
+                self.search_texts(
+                    queries, top_k=top_k, method=method, rerank=rerank,
+                    consistency_weight=consistency_weight,
+                    consistency_strict=consistency_strict,
+                    query_expansion=query_expansion, **f,
+                )
+                for f in tier_filters
+            ]
+
+        embedder = getattr(self, "embedder", None)
+        queries = list(queries)
+        hashed = getattr(embedder, "backend", "hashed") == "hashed"
+        if query_expansion and hashed and self.featurizer is not None:
+            from ..models.synonyms import expand_queries
+
+            queries = expand_queries(queries)
+
+        width = self.matrix_t.shape[1]
+        results: dict[int, list] = {}
+        device_tiers: list[tuple[int, np.ndarray]] = []
+        for ti, flt in enumerate(tier_filters):
+            mask = self._filter_mask(
+                flt.get("period"), flt.get("chunk_type"), None,
+                periods=flt.get("periods"), company=flt.get("company"),
+            )
+            if (
+                consistency_weight > 0
+                and mask is not None
+                and self.featurizer is not None
+            ):
+                bucket_rows = np.nonzero(mask[: len(self.records)])[0]
+                if 0 < bucket_rows.size <= self.exact_bucket_max:
+                    key = (
+                        tuple(sorted(flt["periods"])) if flt.get("periods") else flt.get("period"),
+                        flt.get("chunk_type"),
+                        flt.get("company"),
+                    )
+                    results[ti] = self._exact_bucket_search(
+                        queries, bucket_rows, key, top_k,
+                        consistency_weight, consistency_strict,
+                    )
+                    continue
+            if mask is None:
+                mask = np.ones(width, bool)
+            device_tiers.append((ti, mask))
+
+        if device_tiers:
+            if embedder is not None:
+                q = embedder.encode_texts(queries)
+            else:
+                ids, wts = self.featurizer.encode_batch(queries)
+                q = self.encoder.encode(ids, wts)
+            score_mult = (
+                self._integrity_mult(consistency_weight, consistency_strict)
+                if consistency_weight > 0
+                else None
+            )
+            fetch_k = min(max(top_k, rerank), max(self.n, 1))
+            masks = jnp.asarray(np.stack([m for _, m in device_tiers]))
+            if self.quantized:
+                from ..ops.topk import cosine_topk_dense_multi_int8
+
+                s_all, r_all = cosine_topk_dense_multi_int8(
+                    jnp.asarray(q, jnp.float32), self.matrix_t, self.scales,
+                    fetch_k, masks, n_valid=self.n, score_mult=score_mult,
+                )
+            else:
+                from ..ops.topk import cosine_topk_dense_multi
+
+                s_all, r_all = cosine_topk_dense_multi(
+                    jnp.asarray(q, jnp.float32), self.matrix_t,
+                    fetch_k, masks, n_valid=self.n, score_mult=score_mult,
+                )
+            s_all = np.asarray(s_all)
+            r_all = np.asarray(r_all)
+            for gi, (ti, _) in enumerate(device_tiers):
+                results[ti] = self._postprocess_device_hits(
+                    queries, s_all[gi], r_all[gi], top_k, rerank,
+                    consistency_weight, consistency_strict,
+                )
+        return [results[ti] for ti in range(len(tier_filters))]
 
     # --- incremental insert (Milvus `collection.insert` parity) -----------
     def extended_with(

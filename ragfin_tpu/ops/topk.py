@@ -122,6 +122,70 @@ def cosine_topk_dense(
     return top_scores, top_ids.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
+def cosine_topk_dense_multi(
+    queries: jax.Array,
+    corpus_t: jax.Array,
+    k: int,
+    row_masks: jax.Array,  # [G, N] bool — one mask per filter tier
+    n_valid: Optional[int] = None,
+    precision: str = "exact",
+    score_mult: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """All of a query group's filter tiers in ONE device program.
+
+    The tiered FilteredSearch pipeline issues one masked search per tier
+    (company ∧ period ∧ type, then company ∧ period, ...) — 2-4 dispatches
+    per query, each paying a host→device round trip (~40-80 ms through the
+    axon tunnel). Here the [Q, N] score matrix is computed ONCE and every
+    tier's mask + top-k selection reuses it on device, returning
+    ([G, Q, k] scores, [G, Q, k] ids) from a single dispatch.
+    """
+    scores = jnp.dot(
+        queries,
+        corpus_t.astype(queries.dtype),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )
+    scores = _score_mask(scores, n_valid, None, score_mult)
+
+    def per_tier(mask):
+        masked = jnp.where(mask[: scores.shape[-1]][None, :], scores, NEG_INF)
+        s, i = jax.lax.top_k(masked, k)
+        return s, i.astype(jnp.int32)
+
+    return jax.vmap(per_tier)(row_masks)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_dense_multi_int8(
+    queries: jax.Array,
+    corpus_i8: jax.Array,
+    scales: jax.Array,
+    k: int,
+    row_masks: jax.Array,
+    n_valid=None,
+    score_mult: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8 variant of :func:`cosine_topk_dense_multi` (scores the quantized
+    corpus without dequantizing it in HBM)."""
+    from .quantize import quantize_queries
+
+    q8, qscale = quantize_queries(queries)
+    int_scores = jax.lax.dot_general(
+        q8, corpus_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = int_scores.astype(jnp.float32) * qscale * scales
+    scores = _score_mask(scores, n_valid, None, score_mult)
+
+    def per_tier(mask):
+        masked = jnp.where(mask[: scores.shape[-1]][None, :], scores, NEG_INF)
+        s, i = jax.lax.top_k(masked, k)
+        return s, i.astype(jnp.int32)
+
+    return jax.vmap(per_tier)(row_masks)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk_dense_int8(
     queries: jax.Array,
@@ -291,6 +355,48 @@ def _stream_merge_mask(scores, col0, acc_s, acc_i, k: int):
     return new_s, new_i
 
 
+def _stream_merge_maxlazy(scores, col0, acc_s, acc_i, k: int):
+    """Streaming merge with the cheapest possible per-tile prologue: ONE
+    row-max reduction. The argmax (id extraction) moves INSIDE the while
+    body — in steady state most (corpus tile, query tile) pairs improve
+    nothing, so the loop is never entered and the tile's selection cost is
+    max + compare only. Body iterations pay an extra equality+min-iota pass
+    versus the invariant variant (id recovered from the score), which is the
+    right trade exactly when improvements are rare.
+
+    Tie semantics preserved: equality extraction takes the LOWEST id holding
+    the current max (same winner as argmax-first-occurrence), and the
+    successor relation is (score desc, id asc) as in the invariant variant.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    def cond(state):
+        a_s, _, cur_s, _ = state
+        return jnp.any(cur_s > a_s[:, k - 1])
+
+    def body(state):
+        a_s, a_i, cur_s, prev_i = state
+        # Lowest id holding cur_s BEYOND the previously-extracted id —
+        # `prev_i` is -1 except while walking a run of exact ties, where it
+        # pins the position of the last extraction so each tied id is
+        # extracted once in ascending order.
+        eq = scores == cur_s[:, None]
+        cand = eq & (iota > prev_i[:, None])
+        cur_i = jnp.min(jnp.where(cand, iota, _INT_MAX), axis=-1).astype(jnp.int32)
+        a_s, a_i = _sorted_insert(a_s, a_i, cur_s, cur_i + col0, k)
+        later = (scores < cur_s[:, None]) | (eq & (iota > cur_i[:, None]))
+        nxt_s = jnp.max(jnp.where(later, scores, NEG_INF), axis=-1)
+        prev_i = jnp.where(nxt_s == cur_s, cur_i, jnp.int32(-1))
+        return a_s, a_i, nxt_s, prev_i
+
+    row_max = jnp.max(scores, axis=-1)
+    prev0 = jnp.full(row_max.shape, jnp.int32(-1))
+    new_s, new_i, _, _ = jax.lax.while_loop(
+        cond, body, (acc_s, acc_i, row_max, prev0)
+    )
+    return new_s, new_i
+
+
 def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] = None):
     """Merge a [R, TN] score tile into the sorted running top-k.
 
@@ -409,6 +515,10 @@ def _merge_tile(scores, col0, acc_s, acc_i, rows, j, *, k: int, slice_n: int, va
             new_s, new_i = _stream_merge_mask(scores, col0, acc_s[rows], acc_i[rows], k)
             acc_s[rows] = new_s
             acc_i[rows] = new_i
+    elif variant == "maxlazy":
+        new_s, new_i = _stream_merge_maxlazy(scores, col0, acc_s[rows], acc_i[rows], k)
+        acc_s[rows] = new_s
+        acc_i[rows] = new_i
     elif slice_n and slice_n < scores.shape[-1]:
         _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, k=k, slice_n=slice_n)
     else:

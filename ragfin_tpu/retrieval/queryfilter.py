@@ -277,15 +277,28 @@ class FilteredSearch:
                     self.index, "supports_filters", False
                 ):
                     extra["consistency_weight"] = self.consistency_weight
-                lists_per_tier = [
-                    # Caller-supplied filters (**kwargs) compose with — and
-                    # override — the tier-derived ones.
-                    self.index.search_texts(
-                        qs, top_k=top_k, method=method,
-                        rerank=self.rerank, **{**extra, **flt, **kwargs},
+                if (
+                    hasattr(self.index, "search_texts_tiers")
+                    and not kwargs
+                    and len(group) > 1
+                ):
+                    # One device dispatch for the whole tier group (the
+                    # [Q, N] scores are shared across the group's masks) —
+                    # serving through the tunnel is dispatch-bound.
+                    lists_per_tier = self.index.search_texts_tiers(
+                        qs, group, top_k=top_k, method=method,
+                        rerank=self.rerank, **extra,
                     )
-                    for flt in group
-                ]
+                else:
+                    lists_per_tier = [
+                        # Caller-supplied filters (**kwargs) compose with —
+                        # and override — the tier-derived ones.
+                        self.index.search_texts(
+                            qs, top_k=top_k, method=method,
+                            rerank=self.rerank, **{**extra, **flt, **kwargs},
+                        )
+                        for flt in group
+                    ]
                 # Tier order IS the ranking prior: typed hits precede the
                 # untyped sibling's. Under the lexical embedder the hint is
                 # more reliable than raw scores (score-ordered and

@@ -195,6 +195,12 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="mask"
         )
         assert np.array_equal(np.asarray(im), ei)
+        # maxlazy merge: deferred id extraction must walk tie runs in
+        # ascending id order via the prev_i carry (each tied id once).
+        sl, il = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="maxlazy"
+        )
+        assert np.array_equal(np.asarray(il), ei)
 
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)

@@ -142,3 +142,71 @@ class TestIncrementalInsert:
         assert [h.id for h in bigger.search_texts([q], top_k=1)[0]] == [
             h.id for h in index.search_texts([q], top_k=1)[0]
         ]
+
+
+class TestTierGroupDispatch:
+    """search_texts_tiers must reproduce the per-tier search_texts results
+    exactly (one-dispatch tier groups, ops/topk.py cosine_topk_dense_multi)."""
+
+    TIERS = [
+        dict(periods=["Q1_FY2024"], chunk_type="profitability_analysis",
+             company="ICICI Bank"),
+        dict(periods=["Q1_FY2024"], company="ICICI Bank"),
+    ]
+    QS = ["net profit Q1 FY2024", "deposits and advances Q1"]
+
+    def _assert_parity(self, index, **kw):
+        grouped = index.search_texts_tiers(self.QS, self.TIERS, top_k=5, **kw)
+        for flt, tier_hits in zip(self.TIERS, grouped):
+            single = index.search_texts(self.QS, top_k=5, **flt, **kw)
+            for a, b in zip(tier_hits, single):
+                assert [h.record.id for h in a] == [h.record.id for h in b]
+                np.testing.assert_allclose(
+                    [h.score for h in a], [h.score for h in b], rtol=1e-5
+                )
+
+    def test_parity_f32(self, index):
+        self._assert_parity(index)
+
+    def test_parity_rerank(self, index):
+        self._assert_parity(index, rerank=8)
+
+    def test_parity_consistency(self, index):
+        self._assert_parity(index, rerank=8, consistency_weight=0.95)
+
+    def test_parity_int8(self, corpus_chunks):
+        idx8 = DeviceVectorIndex.build(corpus_chunks, dtype="int8")
+        self._assert_parity(idx8)
+
+    def test_unscoped_tier(self, index):
+        grouped = index.search_texts_tiers(self.QS, [{}], top_k=3)
+        single = index.search_texts(self.QS, top_k=3)
+        # The unscoped tier runs through the dense-multi path while plain
+        # search_texts uses the fused path — same ids either way.
+        for a, b in zip(grouped[0], single):
+            assert [h.record.id for h in a] == [h.record.id for h in b]
+
+    def test_filtered_search_results_unchanged(self, index):
+        """FilteredSearch must return identical results whether the group
+        runs as one dispatch or per-tier calls."""
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        qs = [
+            "What was ICICI Bank's net profit in Q1 FY2024?",
+            "Compare segment revenue Q1 vs Q4 FY2024",
+        ]
+        fs = FilteredSearch(index)
+        grouped = fs.search_texts(qs, top_k=3)
+
+        class NoTiers:
+            def __init__(self, inner):
+                self._inner = inner
+                self.records = inner.records
+                self.supports_filters = inner.supports_filters
+
+            def search_texts(self, *a, **kw):
+                return self._inner.search_texts(*a, **kw)
+
+        fallback = FilteredSearch(NoTiers(index)).search_texts(qs, top_k=3)
+        for a, b in zip(grouped, fallback):
+            assert [h.record.id for h in a] == [h.record.id for h in b]

@@ -59,6 +59,13 @@ class Settings:
     index_type: str = "flat"  # "flat" | "ivf"
     ivf_nprobe: int = 32
 
+    # Integrity-weighted retrieval (retrieval/consistency.py): > 0 gates
+    # similarity by in-text figure-consistency — the defense against
+    # in-scope figure-tampered near-duplicates. Off by default (costs a
+    # one-time host pass over the corpus on first use; a clean corpus
+    # ranks identically).
+    integrity_weight: float = 0.0
+
     # Serving ports (reference registry, SURVEY.md §5)
     ports: dict = field(default_factory=lambda: dict(PORTS))
 
@@ -123,6 +130,7 @@ def _from_env() -> Settings:
         index_dtype=env.get("RAGFIN_INDEX_DTYPE", "float32"),
         index_type=env.get("RAGFIN_INDEX_TYPE", "flat"),
         ivf_nprobe=int(env.get("RAGFIN_IVF_NPROBE", "32")),
+        integrity_weight=float(env.get("RAGFIN_INTEGRITY_WEIGHT", "0")),
         base_timeout_s=float(env.get("RAGFIN_TIMEOUT_S", "30")),
         batch_queries=env.get("RAGFIN_BATCH_QUERIES", "1") not in ("0", "false", "no"),
     )

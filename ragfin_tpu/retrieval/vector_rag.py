@@ -54,9 +54,12 @@ class VectorRAG:
             and getattr(index, "featurizer", None) is not None
             and getattr(index, "supports_filters", False)
         ):
+            from ..config.settings import get_config
             from .queryfilter import FilteredSearch
 
-            self._searcher = FilteredSearch(index)
+            self._searcher = FilteredSearch(
+                index, consistency_weight=get_config().integrity_weight
+            )
         # Optional dynamic micro-batcher (serving/batcher.py); attached by
         # the engine so concurrent single-query callers share device
         # dispatches. Single-query entry points route through it when set.

@@ -176,6 +176,11 @@ EXPERIMENTS = {
     # maxlazy with a bigger query tile: per-element VPU work is unchanged
     # but grid steps halve (per-step overhead attribution at large Q).
     "int8lzbq128_bn8192_q1024": ("int8", 8192, 1024, 0, "maxlazy", 128),
+    # invariant merge at block_q=128 (the lzbq128 win may be pure MXU
+    # occupancy — a [128, 384] LHS fills the systolic array's sublanes).
+    "int8bq128_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
+    "bf16bq128_bn4096_q1024": ("bf16", 4096, 1024, 0, "invariant", 128),
+    "tenmbq128_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
 }
 
 
@@ -194,8 +199,13 @@ def ceiling_q1024(which: str) -> None:
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    import re as _re
 
-    n, bn, bq, q = 1_000_000, 8192, 64, 1024
+    bq = 64
+    m = _re.match(r"([a-z]+)(\d+)$", which)
+    if m:
+        which, bq = m.group(1), int(m.group(2))
+    n, bn, q = 1_000_000, 8192, 1024
     npad = -(-n // bn) * bn
 
     def kern(q_ref, ct_ref, cs_ref, out_ref, acc):
@@ -257,7 +267,7 @@ def ceiling_q1024(which: str) -> None:
     t0 = time.perf_counter()
     np.asarray(run(q8, c8, cs))
     dt = (time.perf_counter() - t0) / 4
-    line = f"ceiling_q1024_{which} int8 bn=8192 bq=64: {dt*1e3:.2f} ms/batch (Q=1024)"
+    line = f"ceiling_q1024_{which} int8 bn=8192 bq={bq}: {dt*1e3:.2f} ms/batch (Q=1024)"
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line)

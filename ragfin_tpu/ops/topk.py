@@ -683,18 +683,25 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     return out_s[:q], out_i[:q]
 
 
-def _default_blocks(corpus_dtype, block_q, block_n, precision="fast"):
+def _default_blocks(corpus_dtype, block_q, block_n, precision="fast", n_queries=None):
     """Measured-winner default tile sizes (probe_results.log, v5e).
 
-    Big corpus blocks amortize per-grid-step overhead; ``block_q=64`` halves
-    the VPU merge-pass width vs 128 (padded rows cost real passes) and won at
-    every measured Q. ``block_n`` is bounded by the 16 MB scoped-VMEM budget
-    (two double-buffered corpus tiles + the f32 score tile): int8 fits 8192,
-    bf16 single-pass fits 6144. The exact tier keeps f32 queries, so a bf16
-    corpus tile is upcast to an f32 copy in-kernel — that (and a plain f32
-    corpus) stays at 2048."""
+    Big corpus blocks amortize per-grid-step overhead. ``block_q`` is
+    Q-dependent for the int8 tier: at small Q, 64 halves the VPU merge-pass
+    width (padded rows cost real passes); at Q >= 128 a 128-row LHS fills
+    the MXU's sublanes and halves the grid-step count — measured int8
+    Q=1024 12.68 -> 11.94 ms (85.8K QPS), 10M 79.97 -> 73.13 ms (14.0K
+    QPS). bf16 stays at 64 (bq=128 needed bn=4096 to fit VMEM and only
+    tied: 14.91 vs 15.08). ``block_n`` is bounded by the 16 MB scoped-VMEM
+    budget (two double-buffered corpus tiles + the f32 score tile): int8
+    fits 8192, bf16 single-pass fits 6144. The exact tier keeps f32
+    queries, so a bf16 corpus tile is upcast to an f32 copy in-kernel —
+    that (and a plain f32 corpus) stays at 2048."""
     if block_q is None:
-        block_q = 64
+        if corpus_dtype == jnp.int8 and n_queries is not None and n_queries >= 128:
+            block_q = 128
+        else:
+            block_q = 64
     if block_n is None:
         if corpus_dtype == jnp.int8:
             block_n = 8192
@@ -734,7 +741,9 @@ def cosine_topk_fused(
         slice_n = _MERGE_SLICE
     if variant is None:
         variant = _MERGE_VARIANT
-    block_q, block_n = _default_blocks(corpus_t.dtype, block_q, block_n, precision)
+    block_q, block_n = _default_blocks(
+        corpus_t.dtype, block_q, block_n, precision, n_queries=queries.shape[0]
+    )
     return _fused_call(
         queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret,
         slice_n, variant,
@@ -898,7 +907,9 @@ def cosine_topk_fused_int8(
         slice_n = _MERGE_SLICE
     if variant is None:
         variant = _MERGE_VARIANT
-    block_q, block_n = _default_blocks(jnp.int8, block_q, block_n)
+    block_q, block_n = _default_blocks(
+        jnp.int8, block_q, block_n, n_queries=queries.shape[0]
+    )
     return _fused_call_int8(
         queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret,
         slice_n, variant,

@@ -180,6 +180,7 @@ EXPERIMENTS = {
     # occupancy — a [128, 384] LHS fills the systolic array's sublanes).
     "int8bq128_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
     "bf16bq128_bn4096_q1024": ("bf16", 4096, 1024, 0, "invariant", 128),
+    "bf16bq128_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 128),
     "tenmbq128_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
 }
 

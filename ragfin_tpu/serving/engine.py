@@ -149,6 +149,21 @@ class RagFinEngine:
                 self.vector_index.search_texts(["warmup query"], top_k=top_k)
             except Exception:
                 break
+        # Graph match/aggregate executables too: at 10M facts a cold compile
+        # through the remote tunnel measured minutes (probe_results.log
+        # graph_match_10m first=383s) — that belongs to startup, never to a
+        # caller's first query. The persistent compile cache
+        # (enable_compilation_cache in __init__) makes this cheap on
+        # restart.
+        try:
+            if self.graph.stats().get("total_facts", 0) and self.graph.entities:
+                self.graph.match(
+                    quarters=self.graph.quarters[:1],
+                    names=self.graph.entities[:1],
+                    limit=1,
+                )
+        except Exception:
+            pass
 
     def _load_graph(self) -> GraphIndex:
         graph_dir = os.path.join(self.settings.index_dir or "", "graph")

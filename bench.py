@@ -215,14 +215,21 @@ def parent_main() -> None:
     current_child = [None]
 
     def on_term(signum, frame):
-        _print_once(fallback_line)
         child = current_child[0]
         if child is not None:
             try:
                 child.kill()
             except Exception:
                 pass
-        os._exit(0)
+        if signum == signal.SIGTERM:
+            # Driver timeout: record the honest fallback so the round has a
+            # number instead of nothing.
+            _print_once(fallback_line)
+            os._exit(0)
+        # SIGINT = an operator interrupting the run: do NOT fabricate a
+        # tunnel-dead measurement for a run that never completed.
+        print("# interrupted; no measurement recorded", file=sys.stderr)
+        os._exit(130)
 
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)

@@ -130,7 +130,11 @@ def cmd_eval(args) -> int:
     ):
         from .retrieval.queryfilter import FilteredSearch
 
-        searcher = FilteredSearch(searcher)
+        # Mirror what VectorRAG serves (vector_rag.py): eval must measure
+        # the production pipeline including a configured integrity gate.
+        searcher = FilteredSearch(
+            searcher, consistency_weight=engine.settings.integrity_weight
+        )
     report = evaluate_retrieval(searcher, questions, k=args.k)
     summary = report.summary()
     print(json.dumps(summary, indent=2))

@@ -241,7 +241,13 @@ def _protect_scope_tokens(fn):
         protected = {}
 
         def stash(m):
-            key = f"\x00{len(protected)}\x00"
+            # Placeholder keys must contain NO digits: the guarded text
+            # goes through the number perturbation, and a digit-bearing key
+            # ("\x000\x00") would itself be rewritten, corrupting ~38% of
+            # outputs with NUL garbage and wrong period tokens (round-3
+            # review finding). Letters encode the index instead.
+            tag = "".join(chr(97 + int(d)) for d in str(len(protected)))
+            key = f"\x00{tag}\x00"
             protected[key] = m.group(0)
             return key
 
@@ -249,6 +255,7 @@ def _protect_scope_tokens(fn):
         guarded = fn(guarded, r)
         for key, tok in protected.items():
             guarded = guarded.replace(key, tok)
+        assert "\x00" not in guarded, "scope-token placeholder leaked"
         return guarded
 
     return wrapped

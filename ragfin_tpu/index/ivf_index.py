@@ -144,13 +144,12 @@ class IVFVectorIndex:
         top_k: int = 3,
         nprobe: Optional[int] = None,
         method: str = "ivf",  # accepted for search-surface interchangeability
+        query_expansion: bool = True,
     ):
         from .vector_index import SearchHit
 
         queries = list(queries)
-        if getattr(self.embedder, "backend", "hashed") == "hashed" and (
-            self.featurizer is not None or self.embedder is not None
-        ):
+        if query_expansion and getattr(self.embedder, "backend", "hashed") == "hashed":
             from ..models.synonyms import expand_queries
 
             queries = expand_queries(queries)

@@ -423,23 +423,17 @@ class DeviceVectorIndex:
                     list(queries), bucket_rows, key, top_k,
                     consistency_weight, consistency_strict,
                 )
-        score_mult = None
-        if consistency_weight > 0:
-            # Integrity-weighted candidate generation: scale positive
-            # similarities by the chunk's consistency multiplier ON DEVICE,
-            # before selection — a tampered near-duplicate then loses at
-            # fetch time instead of requiring a shortlist wider than the
-            # forgery cluster. Runs through the dense path (the weighting
-            # fuses into the matmul epilogue).
-            col = self.integrity_column()
-            if consistency_strict:
-                from ..retrieval.consistency import strictify
-
-                score_mult = jnp.asarray(
-                    strictify(col, consistency_weight).astype(np.float32)
-                )
-            else:
-                score_mult = jnp.asarray(1.0 - consistency_weight * (1.0 - col))
+        # Integrity-weighted candidate generation: scale positive
+        # similarities by the chunk's consistency multiplier ON DEVICE,
+        # before selection — a tampered near-duplicate then loses at fetch
+        # time instead of requiring a shortlist wider than the forgery
+        # cluster. Runs through the dense path (the weighting fuses into
+        # the matmul epilogue).
+        score_mult = (
+            self._integrity_mult(consistency_weight, consistency_strict)
+            if consistency_weight > 0
+            else None
+        )
         if mask is not None or score_mult is not None:
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_int8
@@ -494,9 +488,13 @@ class DeviceVectorIndex:
             if rerank:
                 # No-op for semantic (featurizer-less) backends.
                 hits = self._sparse_rerank(queries[qi], hits, keep)
-            else:
-                hits = hits[:keep]
-            if consistency_weight > 0:
+            if consistency_weight > 0 and rerank:
+                # The sparse re-rank REPLACED the (integrity-weighted)
+                # device scores with raw exact cosines, so the multiplier
+                # must be re-applied. Without a sparse re-rank the device
+                # scores already carry it — re-applying would square the
+                # penalty and diverge from the exact-bucket path's
+                # similarity x multiplier semantics.
                 from ..retrieval.consistency import consistency_rerank
 
                 cache = getattr(self, "_consistency_cache", None)

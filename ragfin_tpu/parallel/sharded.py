@@ -244,14 +244,16 @@ class ShardedVectorIndex:
             method=method, scales=self.scales,
         )
 
-    def search_texts(self, queries, top_k: int = 3, method: str = "auto"):
+    def search_texts(
+        self, queries, top_k: int = 3, method: str = "auto", query_expansion: bool = True
+    ):
         from ..index.vector_index import SearchHit
 
         # Mirror DeviceVectorIndex.search_texts: prefer the semantic embedder
         # when the source index carried one (featurizer/encoder are None then).
         embedder = getattr(self, "embedder", None)
         queries = list(queries)
-        if getattr(embedder, "backend", "hashed") == "hashed":
+        if query_expansion and getattr(embedder, "backend", "hashed") == "hashed":
             from ..models.synonyms import expand_queries
 
             queries = expand_queries(queries)

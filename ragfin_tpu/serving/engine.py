@@ -149,6 +149,16 @@ class RagFinEngine:
                 self.vector_index.search_texts(["warmup query"], top_k=top_k)
             except Exception:
                 break
+        if self.settings.integrity_weight > 0 and hasattr(
+            self.vector_index, "integrity_column"
+        ):
+            # The per-chunk consistency pass runs ~14k chunks/s host-side —
+            # at 1M chunks that is ~70 s that belongs to startup, not to
+            # the first integrity-weighted query.
+            try:
+                self.vector_index.integrity_column()
+            except Exception:
+                pass
         # Graph match/aggregate executables too: at 10M facts a cold compile
         # through the remote tunnel measured minutes (probe_results.log
         # graph_match_10m first=383s) — that belongs to startup, never to a

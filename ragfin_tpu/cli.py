@@ -54,10 +54,16 @@ def cmd_build_index(args) -> int:
 
 
 def _engine(args):
-    from .config.settings import Settings
+    import dataclasses
+
+    from .config.settings import get_config
     from .serving.engine import RagFinEngine
 
-    settings = Settings(
+    # Start from the env-derived config (RAGFIN_* vars — integrity weight,
+    # embed backend, index type, ... must all apply to CLI engines exactly
+    # as to serving ones) and override only what the CLI flags name.
+    settings = dataclasses.replace(
+        get_config(),
         default_model=getattr(args, "model", "fake") or "fake",
         data_dir=getattr(args, "data", "extract_data"),
         index_dir=getattr(args, "index", ".ragfin_index"),

@@ -232,6 +232,7 @@ class IVFVectorIndex:
         # the engine would silently rebuild with an untuned encoder. The
         # encoder may live standalone (self.encoder) or inside the hashed
         # embedder — either way there is at most one distinct tuned table.
+        wrote_table = False
         for enc in (getattr(self, "encoder", None),
                     getattr(embedder, "encoder", None) if embedder is not None else None):
             if enc is not None and getattr(enc, "tuned", False):
@@ -239,7 +240,15 @@ class IVFVectorIndex:
                     os.path.join(directory, "encoder_table.npy"),
                     np.asarray(enc.table, np.float32),
                 )
+                wrote_table = True
                 break
+        if not wrote_table:
+            # An untuned re-save to a directory that previously held a tuned
+            # index must not leave the old table behind — load() would
+            # silently attach a projection that doesn't match the matrix.
+            stale = os.path.join(directory, "encoder_table.npy")
+            if os.path.exists(stale):
+                os.remove(stale)
         with open(os.path.join(directory, "ivf.json"), "w") as f:
             json.dump(meta, f, ensure_ascii=False)
 
@@ -266,7 +275,16 @@ class IVFVectorIndex:
         records = [IndexedChunk(**r) for r in meta["records"]]
         out = cls(ivf, records, nprobe=int(meta["nprobe"]), name=meta.get("name", "fin_chunks_ivf"))
         tpath = os.path.join(directory, "encoder_table.npy")
-        table = jnp.asarray(np.load(tpath)) if os.path.exists(tpath) else None
+        # Only attach the table when the saved state says the encoder was
+        # tuned — a stale file from an earlier tuned save must not override
+        # a seed-reconstructible encoder.
+        tuned = bool(
+            meta.get("encoder", {}).get("tuned")
+            or meta.get("hashed_embedder", {}).get("encoder", {}).get("tuned")
+        )
+        table = (
+            jnp.asarray(np.load(tpath)) if tuned and os.path.exists(tpath) else None
+        )
         if "hashed_embedder" in meta:
             from ..models.embedder import HashedEmbedder
 

@@ -275,7 +275,7 @@ class DeviceVectorIndex:
         both exact and cheap (the bucket is orders of magnitude smaller than
         the corpus). Integrity gating applies multiplicatively as in the
         device path."""
-        from ..retrieval.consistency import strictify
+        from ..retrieval.consistency import smooth, strictify
 
         rows_arr, lookup, flat_w, doc_idx = self._bucket_postings(rows, key)
         mult = None
@@ -284,7 +284,7 @@ class DeviceVectorIndex:
             if consistency_strict:
                 mult = strictify(col, consistency_weight).astype(np.float32)
             else:
-                mult = (1.0 - consistency_weight * (1.0 - col)).astype(np.float32)
+                mult = smooth(col, consistency_weight).astype(np.float32)
         qids, qwts = self.featurizer.encode_batch(list(queries))
         qnorm = np.linalg.norm(qwts, axis=1, keepdims=True)
         qwts = qwts / np.maximum(qnorm, 1e-12)
@@ -377,50 +377,25 @@ class DeviceVectorIndex:
         (retrieval/consistency.py) — the defense against in-scope
         figure-tampered near-duplicates that metadata filters cannot reject.
         """
-        embedder = getattr(self, "embedder", None)
-        queries = list(queries)
-        hashed = getattr(embedder, "backend", "hashed") == "hashed"
-        if query_expansion and hashed and self.featurizer is not None:
-            # Query-side financial-idiom expansion (models/synonyms.py):
-            # paraphrased questions gain the statement vocabulary their
-            # idioms denote. Documents are never expanded.
-            from ..models.synonyms import expand_queries
-
-            queries = expand_queries(queries)
-        if embedder is not None:
-            q = embedder.encode_texts(queries)
-        elif self.featurizer is not None and self.encoder is not None:
-            ids, wts = self.featurizer.encode_batch(queries)
-            q = self.encoder.encode(ids, wts)
-        else:
-            raise ValueError(
-                "no embedder attached to this index; use search_embeddings "
-                "or construct via DeviceVectorIndex.build/load"
-            )
+        queries = self._expand_for_search(queries, query_expansion)
+        q = self._encode_queries(queries)
         fetch_k = max(top_k, rerank)
         mask = self._filter_mask(
             period, chunk_type, predicate, periods=periods, company=company
         )
-        if (
-            consistency_weight > 0
-            and mask is not None
-            and predicate is None
-            and self.featurizer is not None
-        ):
+        if predicate is None:
             # Integrity mode + a filter bucket: score the bucket EXACTLY in
             # the true sparse TF-IDF space (see _exact_bucket_search — the
             # JL shortlist is structurally unreliable among scoped
             # near-duplicates). Falls through to the device path for
-            # oversized buckets.
-            bucket_rows = np.nonzero(mask[: len(self.records)])[0]
-            if 0 < bucket_rows.size <= self.exact_bucket_max:
-                key = (
-                    tuple(sorted(periods)) if periods else period,
-                    chunk_type,
-                    company,
-                )
+            # oversized buckets. (Predicate filters have no stable cache
+            # key, so they stay on the device path.)
+            plan = self._exact_bucket_plan(
+                mask, consistency_weight, periods, period, chunk_type, company
+            )
+            if plan is not None:
                 return self._exact_bucket_search(
-                    list(queries), bucket_rows, key, top_k,
+                    queries, plan[0], plan[1], top_k,
                     consistency_weight, consistency_strict,
                 )
         # Integrity-weighted candidate generation: scale positive
@@ -488,13 +463,15 @@ class DeviceVectorIndex:
             if rerank:
                 # No-op for semantic (featurizer-less) backends.
                 hits = self._sparse_rerank(queries[qi], hits, keep)
-            if consistency_weight > 0 and rerank:
+            if consistency_weight > 0 and rerank and self.featurizer is not None:
                 # The sparse re-rank REPLACED the (integrity-weighted)
                 # device scores with raw exact cosines, so the multiplier
-                # must be re-applied. Without a sparse re-rank the device
-                # scores already carry it — re-applying would square the
-                # penalty and diverge from the exact-bucket path's
-                # similarity x multiplier semantics.
+                # must be re-applied. Without a sparse re-rank — rerank=0,
+                # or a featurizer-less semantic backend where
+                # _sparse_rerank is a no-op — the device scores already
+                # carry it, and re-applying would square the penalty and
+                # diverge from the exact-bucket path's similarity x
+                # multiplier semantics.
                 from ..retrieval.consistency import consistency_rerank
 
                 cache = getattr(self, "_consistency_cache", None)
@@ -509,13 +486,70 @@ class DeviceVectorIndex:
             out.append(hits)
         return out
 
+    def _expand_for_search(self, queries, query_expansion: bool) -> list:
+        """Query-side financial-idiom expansion (models/synonyms.py) for the
+        hashed backend; documents are never expanded."""
+        queries = list(queries)
+        embedder = getattr(self, "embedder", None)
+        hashed = getattr(embedder, "backend", "hashed") == "hashed"
+        if query_expansion and hashed and self.featurizer is not None:
+            from ..models.synonyms import expand_queries
+
+            queries = expand_queries(queries)
+        return queries
+
+    def _encode_queries(self, queries):
+        embedder = getattr(self, "embedder", None)
+        if embedder is not None:
+            return embedder.encode_texts(queries)
+        if self.featurizer is not None and self.encoder is not None:
+            ids, wts = self.featurizer.encode_batch(queries)
+            return self.encoder.encode(ids, wts)
+        raise ValueError(
+            "no embedder attached to this index; use search_embeddings "
+            "or construct via DeviceVectorIndex.build/load"
+        )
+
+    def _exact_bucket_plan(
+        self, mask, consistency_weight, periods, period, chunk_type, company
+    ):
+        """(bucket_rows, cache_key) when the exact-sparse host path should
+        answer this filter (integrity mode + a small scoped bucket — see
+        _exact_bucket_search), else None. The single gate both search_texts
+        and search_texts_tiers consult."""
+        if not (
+            consistency_weight > 0
+            and mask is not None
+            and self.featurizer is not None
+        ):
+            return None
+        bucket_rows = np.nonzero(mask[: len(self.records)])[0]
+        if not (0 < bucket_rows.size <= self.exact_bucket_max):
+            return None
+        key = (tuple(sorted(periods)) if periods else period, chunk_type, company)
+        return bucket_rows, key
+
     def _integrity_mult(self, consistency_weight: float, consistency_strict: bool):
+        """Device-resident multiplier column, cached per (weight, strict) —
+        recomputing the [N] array and re-uploading ~4 MB through the
+        dispatch-bound tunnel on every search would tax exactly the
+        latency the one-dispatch work saves."""
+        cache = getattr(self, "_integrity_mult_cache", None)
+        if cache is None:
+            cache = self._integrity_mult_cache = {}
+        key = (round(consistency_weight, 6), consistency_strict, self.matrix_t.shape[1])
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        from ..retrieval.consistency import smooth, strictify
+
         col = self.integrity_column()
         if consistency_strict:
-            from ..retrieval.consistency import strictify
-
-            return jnp.asarray(strictify(col, consistency_weight).astype(np.float32))
-        return jnp.asarray(1.0 - consistency_weight * (1.0 - col))
+            mult = jnp.asarray(strictify(col, consistency_weight).astype(np.float32))
+        else:
+            mult = jnp.asarray(smooth(col, consistency_weight).astype(np.float32))
+        cache[key] = mult
+        return mult
 
     def search_texts_tiers(
         self,
@@ -550,13 +584,7 @@ class DeviceVectorIndex:
                 for f in tier_filters
             ]
 
-        embedder = getattr(self, "embedder", None)
-        queries = list(queries)
-        hashed = getattr(embedder, "backend", "hashed") == "hashed"
-        if query_expansion and hashed and self.featurizer is not None:
-            from ..models.synonyms import expand_queries
-
-            queries = expand_queries(queries)
+        queries = self._expand_for_search(queries, query_expansion)
 
         width = self.matrix_t.shape[1]
         results: dict[int, list] = {}
@@ -566,33 +594,22 @@ class DeviceVectorIndex:
                 flt.get("period"), flt.get("chunk_type"), None,
                 periods=flt.get("periods"), company=flt.get("company"),
             )
-            if (
-                consistency_weight > 0
-                and mask is not None
-                and self.featurizer is not None
-            ):
-                bucket_rows = np.nonzero(mask[: len(self.records)])[0]
-                if 0 < bucket_rows.size <= self.exact_bucket_max:
-                    key = (
-                        tuple(sorted(flt["periods"])) if flt.get("periods") else flt.get("period"),
-                        flt.get("chunk_type"),
-                        flt.get("company"),
-                    )
-                    results[ti] = self._exact_bucket_search(
-                        queries, bucket_rows, key, top_k,
-                        consistency_weight, consistency_strict,
-                    )
-                    continue
+            plan = self._exact_bucket_plan(
+                mask, consistency_weight, flt.get("periods"), flt.get("period"),
+                flt.get("chunk_type"), flt.get("company"),
+            )
+            if plan is not None:
+                results[ti] = self._exact_bucket_search(
+                    queries, plan[0], plan[1], top_k,
+                    consistency_weight, consistency_strict,
+                )
+                continue
             if mask is None:
                 mask = np.ones(width, bool)
             device_tiers.append((ti, mask))
 
         if device_tiers:
-            if embedder is not None:
-                q = embedder.encode_texts(queries)
-            else:
-                ids, wts = self.featurizer.encode_batch(queries)
-                q = self.encoder.encode(ids, wts)
+            q = self._encode_queries(queries)
             score_mult = (
                 self._integrity_mult(consistency_weight, consistency_strict)
                 if consistency_weight > 0
@@ -737,6 +754,13 @@ class DeviceVectorIndex:
                     os.path.join(directory, "encoder_table.npy"),
                     np.asarray(self.encoder.table, np.float32),
                 )
+            else:
+                stale = os.path.join(directory, "encoder_table.npy")
+                if os.path.exists(stale):
+                    # Untuned re-save over a previously-tuned directory:
+                    # drop the old table or load() would attach a
+                    # projection that doesn't match this matrix.
+                    os.remove(stale)
         embedder = getattr(self, "embedder", None)
         if embedder is not None and getattr(embedder, "backend", "hashed") != "hashed":
             meta["embedder"] = embedder.state_dict()
@@ -762,7 +786,11 @@ class DeviceVectorIndex:
             index.featurizer = HashedFeaturizer.from_state_dict(meta["featurizer"])
         if "encoder" in meta:
             tpath = os.path.join(directory, "encoder_table.npy")
-            table = jnp.asarray(np.load(tpath)) if os.path.exists(tpath) else None
+            table = (
+                jnp.asarray(np.load(tpath))
+                if meta["encoder"].get("tuned") and os.path.exists(tpath)
+                else None
+            )
             index.encoder = BagEncoder.from_state_dict(meta["encoder"], table=table)
         if "embedder" in meta and meta["embedder"].get("backend") == "minilm":
             from ..models.embedder import MiniLMEmbedder

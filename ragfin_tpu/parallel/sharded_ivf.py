@@ -26,6 +26,7 @@ the single-chip Pallas IVF kernel remains the latency path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -160,18 +161,25 @@ def sharded_ivf_topk(
     k: int,
     nprobe: int = 32,
     block_q: int = 8,
+    n_cells_real: Optional[int] = None,
 ):
     """Cluster-pruned top-k over mesh-sharded cells.
 
     ``cells_sharded [C, D, cell]`` / ``ids_sharded [C, cell]`` (and
     ``scales_sharded`` for int8) are device_put with ``P(axis)`` on the cell
     axis (see :func:`shard_ivf_arrays`); ``centroids [C, D]`` replicated.
-    Returns replicated ([Q, k], [Q, k]) with ORIGINAL corpus ids.
+    ``n_cells_real`` is the count of REAL (non-pad) cells — pad cells are
+    excluded from probe selection by index (a constant pad-centroid value
+    cannot do it: its affinity is value*sum(q), which is hugely positive
+    for any query with negative coordinate sum and would steal every probe
+    slot). Returns replicated ([Q, k], [Q, k]) with ORIGINAL corpus ids.
     """
     c_total = cells_sharded.shape[0]
     n_dev = mesh.shape[axis]
     int8 = scales_sharded is not None
     q, d = queries.shape
+    if n_cells_real is None:
+        n_cells_real = c_total
     nprobe = min(nprobe, c_total)
 
     # Probe selection is replicated and tiny: [Q, C] centroid affinities.
@@ -182,6 +190,9 @@ def sharded_ivf_topk(
     qp = qf.shape[0]
     q_tiles = qp // block_q
     cscores = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    if n_cells_real < c_total:
+        col = jax.lax.broadcasted_iota(jnp.int32, cscores.shape, 1)
+        cscores = jnp.where(col < n_cells_real, cscores, NEG_INF)
     if pad_q:
         row = jax.lax.broadcasted_iota(jnp.int32, cscores.shape, 0)
         cscores = jnp.where(row < q, cscores, NEG_INF)
@@ -215,9 +226,22 @@ def sharded_ivf_topk(
     return s[inv_order], i[inv_order]
 
 
-def shard_ivf_arrays(mesh: Mesh, axis: str, ivf: IVFIndex):
-    """device_put an IVFIndex's arrays for :func:`sharded_ivf_topk`."""
+class ShardedIVFArrays(tuple):
+    """(cells, scales, ids, centroids, n_cells_real) — a named tuple-alike
+    so existing 4-way unpacking fails loudly rather than silently dropping
+    the pad count."""
+
+    __slots__ = ()
+
+
+def shard_ivf_arrays(mesh: Mesh, axis: str, ivf: IVFIndex) -> ShardedIVFArrays:
+    """device_put an IVFIndex's arrays for :func:`sharded_ivf_topk`.
+
+    Returns ``(cells, scales, ids, centroids, n_cells_real)``; pass
+    ``n_cells_real`` through so probe selection can exclude pad cells by
+    index."""
     n_dev = mesh.shape[axis]
+    n_real = ivf.cells.shape[0]
     cells, scales, ids, c_total = pad_cells_for_mesh(ivf, n_dev)
     spec = NamedSharding(mesh, P(axis))
     cells = jax.device_put(cells, spec)
@@ -226,15 +250,16 @@ def shard_ivf_arrays(mesh: Mesh, axis: str, ivf: IVFIndex):
     ids = jax.device_put(ids, spec)
     centroids = jnp.asarray(ivf.centroids)
     if c_total > centroids.shape[0]:
+        # Pad centroid VALUES are irrelevant — probe selection masks pad
+        # columns by index (see sharded_ivf_topk) — zeros keep dtypes tidy.
         centroids = jnp.concatenate(
             [
                 centroids,
-                jnp.full(
+                jnp.zeros(
                     (c_total - centroids.shape[0], centroids.shape[1]),
-                    -1e6,
                     centroids.dtype,
                 ),
             ],
             axis=0,
         )
-    return cells, scales, ids, centroids
+    return ShardedIVFArrays((cells, scales, ids, centroids, n_real))

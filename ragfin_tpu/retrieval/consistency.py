@@ -190,6 +190,17 @@ def consistency_multiplier(text: str, weight: float) -> float:
     return 1.0 - weight * (1.0 - passed / checks)
 
 
+def smooth(m, weight: float):
+    """Multiplier under the SMOOTH mode: scale by the pass fraction —
+    ``1 - weight * (1 - m)``. The single definition all scoring paths
+    (device column, host rerank, exact bucket) must share, or a future
+    formula tweak would silently diverge them. Works elementwise on numpy
+    arrays or floats."""
+    import numpy as _np
+
+    return 1.0 - weight * (1.0 - _np.asarray(m))
+
+
 def strictify(m, weight: float):
     """Multiplier under the STRICT integrity gate: authentic statement text
     passes every self-declared arithmetic check by construction (the figures
@@ -229,7 +240,7 @@ def consistency_rerank(
         # cache stores the weight-1 multiplier == passed/checks (or 1.0);
         # rescale to the requested weight. Negative similarities are left
         # alone — shrinking a negative score toward 0 would RAISE it.
-        f = float(strictify(m, weight)) if strict else 1.0 - weight * (1.0 - m)
+        f = float(strictify(m, weight)) if strict else float(smooth(m, weight))
         rescored.append((h.score * f if h.score > 0 else h.score, h))
     rescored.sort(key=lambda t: -t[0])
     out = []

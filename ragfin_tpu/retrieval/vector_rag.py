@@ -41,6 +41,7 @@ class VectorRAG:
         index: DeviceVectorIndex,
         provider: Optional[LLMProvider] = None,
         smart_retrieval: bool = True,
+        integrity_weight: Optional[float] = None,
     ):
         self.index = index
         self.provider = provider
@@ -54,11 +55,18 @@ class VectorRAG:
             and getattr(index, "featurizer", None) is not None
             and getattr(index, "supports_filters", False)
         ):
-            from ..config.settings import get_config
             from .queryfilter import FilteredSearch
 
+            if integrity_weight is None:
+                # Standalone construction: fall back to the env config. The
+                # engine passes ITS settings explicitly so a programmatic
+                # Settings(integrity_weight=...) is honored even when the
+                # env var is unset.
+                from ..config.settings import get_config
+
+                integrity_weight = get_config().integrity_weight
             self._searcher = FilteredSearch(
-                index, consistency_weight=get_config().integrity_weight
+                index, consistency_weight=integrity_weight
             )
         # Optional dynamic micro-batcher (serving/batcher.py); attached by
         # the engine so concurrent single-query callers share device

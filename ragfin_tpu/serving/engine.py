@@ -57,7 +57,10 @@ class RagFinEngine:
         else:
             extractor = RuleBasedExtractor()
         self.graph_builder = GraphBuilder(self.graph, extractor=extractor, provider=self.provider)
-        self.vector_rag = VectorRAG(self.vector_index, self.provider)
+        self.vector_rag = VectorRAG(
+            self.vector_index, self.provider,
+            integrity_weight=self.settings.integrity_weight,
+        )
         self.hybrid = HybridRAG(self.vector_index, self.graph, self.provider)
         # Default query path: dynamic micro-batching over the production
         # retrieval pipeline — concurrent callers share device dispatches

@@ -40,7 +40,7 @@ class TestShardedIVF:
         """nprobe == n_cells: the sharded scan must agree with the
         single-device IVF kernel (same scores; ids may differ only on
         exact-score ties)."""
-        ct, ivf, (cells, scales, ids, centroids) = setup
+        ct, ivf, (cells, scales, ids, centroids, n_real) = setup
         rng = np.random.default_rng(3)
         base = ct.T[rng.integers(0, ct.shape[1], 16)]
         q = base + 0.1 * rng.standard_normal(base.shape).astype(np.float32)
@@ -57,7 +57,7 @@ class TestShardedIVF:
     def test_pruned_recall(self, mesh, setup):
         """Pruned sharded probing reaches the same recall regime as the
         single-device tier on clustered queries."""
-        ct, ivf, (cells, scales, ids, centroids) = setup
+        ct, ivf, (cells, scales, ids, centroids, n_real) = setup
         rng = np.random.default_rng(5)
         base = ct.T[rng.integers(0, ct.shape[1], 32)]
         q = base + 0.1 * rng.standard_normal(base.shape).astype(np.float32)
@@ -75,7 +75,7 @@ class TestShardedIVF:
     def test_int8_cells(self, mesh):
         ct = _clustered(seed=9)
         ivf = build_ivf(jnp.asarray(ct), cell=128, iters=2, quantize=True)
-        cells, scales, ids, centroids = shard_ivf_arrays(mesh, "cells", ivf)
+        cells, scales, ids, centroids, n_real = shard_ivf_arrays(mesh, "cells", ivf)
         assert scales is not None
         rng = np.random.default_rng(4)
         base = ct.T[rng.integers(0, ct.shape[1], 8)]
@@ -106,13 +106,35 @@ class TestShardedIVF:
         that can never win."""
         ct = _clustered(seed=11, n=1280, n_centers=10)  # 10 cells / 8 devs
         ivf = build_ivf(jnp.asarray(ct), cell=128, iters=1)
-        cells, scales, ids, centroids = shard_ivf_arrays(mesh, "cells", ivf)
+        cells, scales, ids, centroids, n_real = shard_ivf_arrays(mesh, "cells", ivf)
         assert cells.shape[0] % 8 == 0
         q = jnp.asarray(ct.T[:4] / np.linalg.norm(ct.T[:4], axis=1, keepdims=True))
         s, i = sharded_ivf_topk(
             mesh, "cells", q, cells, scales, ids, centroids,
-            k=5, nprobe=cells.shape[0], block_q=4,
+            k=5, nprobe=cells.shape[0], block_q=4, n_cells_real=n_real,
         )
         ids_np = np.asarray(i)
         assert ids_np.max() < ct.shape[1]  # never a pad id
         assert list(ids_np[:, 0]) == [0, 1, 2, 3]  # self-retrieval
+
+    def test_pad_cells_never_steal_probes(self, mesh):
+        """Round-3 review regression: with pad cells present and PRUNED
+        probing, queries with negative coordinate sums must still retrieve
+        (a constant pad-centroid value has affinity value*sum(q), which is
+        hugely positive for sum(q)<0 and used to take every probe slot,
+        returning _INT_MAX for the whole tile)."""
+        rng = np.random.default_rng(13)
+        d, n = 32, 1280  # 10 cells of 128 -> 6 pads on the 8-device mesh
+        pts = rng.standard_normal((n, d)).astype(np.float32) - 0.5  # negative-sum heavy
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        ivf = build_ivf(jnp.asarray(pts.T.copy()), cell=128, iters=1)
+        cells, scales, ids, centroids, n_real = shard_ivf_arrays(mesh, "cells", ivf)
+        q = jnp.asarray(pts[:8])  # self-queries, many with sum(q) < 0
+        assert float(np.asarray(q).sum(axis=1).min()) < 0  # scenario is live
+        s, i = sharded_ivf_topk(
+            mesh, "cells", q, cells, scales, ids, centroids,
+            k=5, nprobe=6, block_q=4, n_cells_real=n_real,
+        )
+        ids_np = np.asarray(i)
+        assert (ids_np[:, 0] < n).all(), f"probe slots stolen by pads: {ids_np[:, 0]}"
+        assert (ids_np[:, 0] == np.arange(8)).mean() >= 0.75  # self-retrieval mostly works

@@ -210,3 +210,30 @@ class TestTierGroupDispatch:
         fallback = FilteredSearch(NoTiers(index)).search_texts(qs, top_k=3)
         for a, b in zip(grouped, fallback):
             assert [h.record.id for h in a] == [h.record.id for h in b]
+
+
+class TestStaleEncoderTable:
+    def test_untuned_resave_drops_stale_table(self, corpus_chunks, tmp_path):
+        """Tuned save -> untuned re-save to the SAME directory -> load must
+        reconstruct the untuned (seed) encoder, not attach the stale table
+        (round-3 review finding: a mismatched projection silently breaks
+        query/corpus agreement)."""
+        import jax.numpy as jnp
+
+        from ragfin_tpu.models.bag_encoder import BagEncoder
+
+        d = str(tmp_path / "idx")
+        base = BagEncoder()
+        tuned = BagEncoder(table=jnp.asarray(np.asarray(base.table) * 1.5))
+        DeviceVectorIndex.build(corpus_chunks, encoder=tuned).save(d)
+        import os
+
+        assert os.path.exists(os.path.join(d, "encoder_table.npy"))
+
+        DeviceVectorIndex.build(corpus_chunks).save(d)  # untuned re-save
+        assert not os.path.exists(os.path.join(d, "encoder_table.npy"))
+        back = DeviceVectorIndex.load(d)
+        assert not back.encoder.tuned
+        np.testing.assert_array_equal(
+            np.asarray(back.encoder.table), np.asarray(BagEncoder().table)
+        )

@@ -302,8 +302,12 @@ class DeviceVectorIndex:
             if mult is not None:
                 scores = np.where(scores > 0, scores * mult, scores)
             k = min(top_k, scores.size)
-            part = np.argpartition(-scores, k - 1)[:k] if scores.size > k else np.arange(scores.size)
-            order = part[np.lexsort((rows_arr[part], -scores[part]))]
+            # Full (score desc, row asc) sort — NOT argpartition: among
+            # exact-score ties (hundreds of figure-perturbed near-
+            # duplicates collapse to identical retrieval features) the
+            # partition picks an arbitrary k, which can drop the gold row
+            # that the stable lowest-row tie-break would keep.
+            order = np.lexsort((rows_arr, -scores))[:k]
             hits = []
             for rank, li in enumerate(order):
                 hits.append(

@@ -213,7 +213,14 @@ class FilteredSearch:
 
     def _tier_groups(self, q: str, known_periods, companies, by_company):
         """The query's tier-group plan (see search_texts)."""
-        f = extract_filters(q, known_periods)
+        # Extract filters from the EXPANDED question: an idiomatic
+        # paraphrase ("how did the bottom line move") carries no type-hint
+        # vocabulary until models/synonyms.py appends the canonical terms
+        # ("net profit"), and without the hint the typed tier — the ranking
+        # prior that wins against same-scope forgeries — never fires.
+        from ..models.synonyms import expand_query
+
+        f = extract_filters(expand_query(q), known_periods)
         company = self._company_for(q, companies)
         scoped_periods = by_company.get(company, set()) if company else known_periods
         latest = self._latest_fy_periods(f, scoped_periods)

@@ -133,7 +133,13 @@ def expand_query(text: str) -> str:
             additions.append(expansion)
     if not additions:
         return text
-    return text + " " + " ".join(additions)
+    # ';' separators: the featurizer's tokenizer skips punctuation, so the
+    # FEATURES are identical to plain-space joining — but regex-based
+    # consumers of the expanded text (queryfilter period parsing, which
+    # matches '<ordinal>\\s+quarter') cannot form spurious phrases across
+    # the original/addition or addition/addition boundaries ('...the
+    # first' + 'quarter...' must not become a Q1 filter).
+    return text + " ; " + " ; ".join(additions)
 
 
 def expand_queries(texts) -> list[str]:

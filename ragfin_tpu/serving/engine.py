@@ -201,6 +201,7 @@ class RagFinEngine:
             "graph": {"facts": self.graph.stats().get("total_facts", 0)},
             "provider": getattr(self.provider, "model_name", None) or "offline",
             "extraction_model": self.graph_builder.current_model,
+            "integrity_weight": self.settings.integrity_weight,
             "config_issues": issues,
         }
 

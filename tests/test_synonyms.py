@@ -30,6 +30,26 @@ class TestExpandQuery:
         outs = expand_queries(["top line?", "plain question"])
         assert "revenue" in outs[0] and outs[1] == "plain question"
 
+    def test_separator_blocks_spurious_filter_phrases(self):
+        """Expansions are joined with ' ; ' so regex consumers of the
+        expanded text (queryfilter period parsing) cannot form phrases
+        across the original/addition boundary — '...the first' +
+        'quarter...' must not become a Q1 filter — while the featurizer
+        (which skips punctuation) sees identical tokens."""
+        from ragfin_tpu.models.embedder import HashedEmbedder
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        out = expand_query("What was the bottom line in the first quarter?")
+        assert " ; " in out
+        emb = HashedEmbedder().fit(["net profit interest income"])
+        joined = out.replace(" ; ", " ")
+        assert np.array_equal(emb.encode_texts([out]), emb.encode_texts([joined]))
+
+        # A query ending in an ordinal must not pick up a quarter filter
+        # from an expansion that starts with 'quarter...'.
+        f = extract_filters(expand_query("net profit for the first half of the year"), ["FY2024"])
+        assert f.periods == []
+
     def test_lexicon_is_broad_not_test_fit(self):
         """The lexicon must stay a general banking vocabulary — dozens of
         entries, most unused by any eval paraphrase (guards against

@@ -464,6 +464,208 @@ def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] 
     return new_s, new_i
 
 
+# Sub-block width for the two-level merge (lanes per level-2 slice). Must
+# divide block_n; 128-multiples keep dynamic lane slices aligned.
+_TWOLEVEL_SUB = int(os.environ.get("RAGFIN_TWOLEVEL_SUB", "128"))
+# Probe knobs: how the [TQ, NB] sub-block maxima are built ("reshape" = 3D
+# reshape + lane reduce, "concat" = NB single-lane concats), and a
+# results-WRONG mode that skips the merge loop to time the prologue alone.
+_TWOLEVEL_M = os.environ.get("RAGFIN_TWOLEVEL_M", "reshape")
+_TWOLEVEL_NOLOOP = os.environ.get("RAGFIN_TWOLEVEL_NOLOOP", "0") == "1"
+_TWOLEVEL_NOSTAGE = os.environ.get("RAGFIN_TWOLEVEL_NOSTAGE", "0") == "1"
+# Probe-only: skip the mlazy body's validity guard (results wrong on the
+# n_valid boundary tile only) to price the guard.
+_MLAZY_NOGUARD = os.environ.get("RAGFIN_MLAZY_NOGUARD", "0") == "1"
+
+
+def _merge_tile_twolevel(scores, col0, acc_s, acc_i, rows, n_valid, buf, *, k: int, sub: int):
+    """Two-level in-tile selection: the only unconditional full-tile work is
+    staging the score tile into the block-major scratch ``buf [NB, TQ, sub]``
+    plus a per-sub-block max reduction ([TQ, TN] -> [TQ, NB]); the merge loop
+    then runs entirely on the 64x-smaller maxima array, extracting candidates
+    from one ``sub``-wide score slice per improving sub-block.
+
+    This removes TWO of the invariant merge's four unconditional full-tile
+    VPU passes (measured ~1.1 ms each at Q=1024/1M, BENCH_NOTES round 3):
+
+    - the pad-column mask pass: wholly-invalid sub-blocks are masked on the
+      [1, NB] maxima row instead (the single boundary sub-block straddling
+      ``n_valid`` keeps its unmasked max — possibly a pad-column 0.0 — which
+      can only cause one spurious slice visit; exact lane masking happens
+      inside the extracted slice);
+    - the full-tile argmax prologue (~2 passes): candidate ids are recovered
+      inside the ``sub``-wide slice only;
+
+    while the full-tile row-max pass is replaced by the sub-block max (same
+    cost, but its result drives the loop) and the scratch staging store is
+    the one new pass. Block-major staging exists because Mosaic cannot
+    lower a lane-dim ``dynamic_slice`` on values OR refs — but a traced
+    scalar index on a ref's LEADING dim lowers fine, so ``buf[b]`` is the
+    per-iteration extraction.
+
+    Exactness/tie-breaks: sub-blocks are processed in ascending block order
+    (the improving-block scan takes the MINIMUM hit index, and a processed
+    block's maxima row is retired), so candidate global ids grow monotonically
+    exactly as in the full-tile merge; within a slice :func:`_stream_merge`
+    preserves (score desc, id asc) order, and across slices the strict ``>``
+    gate against the running kth drops equal-score higher-id candidates.
+    Entry frequency is identical to the invariant merge: ``any(m > kth)``
+    with m the sub-block maxima is the same predicate as ``any(rowmax >
+    kth)``.
+    """
+    tq, tn = scores.shape
+    nb = tn // sub
+    if _TWOLEVEL_M == "reshape":
+        if not _TWOLEVEL_NOSTAGE:
+            for b in range(nb):
+                buf[b] = jax.lax.slice_in_dim(scores, b * sub, (b + 1) * sub, axis=1)
+        m = jnp.max(jnp.reshape(scores, (tq, nb, sub)), axis=-1)
+    else:
+        cols = []
+        for b in range(nb):
+            sl = jax.lax.slice_in_dim(scores, b * sub, (b + 1) * sub, axis=1)
+            buf[b] = sl
+            cols.append(jnp.max(sl, axis=-1, keepdims=True))
+        m = jnp.concatenate(cols, axis=1)  # [TQ, NB] sub-block maxima
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    # Retire wholly-invalid sub-blocks (first global column >= n_valid).
+    m = jnp.where(col0 + iota_b * sub < n_valid, m, NEG_INF)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (tq, sub), 1)
+
+    # Mosaic cannot legalize NESTED while loops (bisected: an inner
+    # _stream_merge while inside the block loop fails with an unresolved
+    # f32->i32 materialization), so the block walk and the within-block
+    # successor walk are FLATTENED into one loop: each iteration inserts one
+    # candidate per row and, when the active block is exhausted, retires it
+    # and hops to the next improving block in the same iteration.
+    def load(b):
+        """Masked [TQ, sub] slice of (clamped) block ``b`` + its global col0."""
+        bc = jnp.minimum(b, nb - 1)
+        sl = buf[bc]
+        c0 = col0 + bc * sub
+        return jnp.where(c0 + iota_sub < n_valid, sl, NEG_INF), c0
+
+    def first_block(m, kth):
+        """Lowest block index whose max improves any row, else _INT_MAX."""
+        hit = m > kth[:, None]
+        nxt = jnp.min(
+            jnp.where(hit, jnp.broadcast_to(iota_b, m.shape), _INT_MAX), axis=-1
+        )
+        return jnp.min(nxt)
+
+    a_s0, a_i0 = acc_s[rows], acc_i[rows]
+    if _TWOLEVEL_NOLOOP:
+        # Probe-only (results WRONG): time the prologue without the merge
+        # loop — fold m into the accumulator so nothing is dead-code-eliminated.
+        acc_s[rows] = jnp.maximum(a_s0, jnp.max(m, axis=-1, keepdims=True))
+        return
+    b0 = first_block(m, a_s0[:, k - 1])
+    sl0, c00 = load(b0)
+    cur_s0 = jnp.where(b0 >= nb, NEG_INF, jnp.max(sl0, axis=-1))
+    cur_i0 = jnp.argmax(sl0, axis=-1).astype(jnp.int32) + c00
+
+    def cond(state):
+        a_s, _, _, _, cur_s, _ = state
+        return jnp.any(cur_s > a_s[:, k - 1])
+
+    def body(state):
+        a_s, a_i, m, b, cur_s, cur_i = state
+        a_s, a_i = _sorted_insert(a_s, a_i, cur_s, cur_i, k)
+        kth = a_s[:, k - 1]
+        sl, c0 = load(b)
+        # Per-row successor of (cur_s, cur_i) within block b in
+        # (score desc, id asc) order — same relation as _stream_merge.
+        li = (cur_i - c0)[:, None]
+        later = (sl < cur_s[:, None]) | ((sl == cur_s[:, None]) & (iota_sub > li))
+        masked = jnp.where(later, sl, NEG_INF)
+        nxt_s = jnp.max(masked, axis=-1)
+        nxt_i = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        # Block exhausted once no row's successor improves: retire it and hop
+        # to the next improving block (ascending order keeps global ids
+        # monotone, preserving the strict-> tie-break argument).
+        blk_done = ~jnp.any(nxt_s > kth)
+        m = jnp.where(blk_done & (iota_b == b), NEG_INF, m)
+        b2 = jnp.where(blk_done, first_block(m, kth), b)
+        sl2, c02 = load(b2)
+        fresh_s = jnp.where(b2 >= nb, NEG_INF, jnp.max(sl2, axis=-1))
+        fresh_i = jnp.argmax(sl2, axis=-1).astype(jnp.int32) + c02
+        cur_s = jnp.where(blk_done, fresh_s, nxt_s)
+        cur_i = jnp.where(blk_done, fresh_i, nxt_i + c0)
+        return a_s, a_i, m, b2, cur_s, cur_i
+
+    new_s, new_i, *_ = jax.lax.while_loop(
+        cond, body, (a_s0, a_i0, m, b0, cur_s0, cur_i0)
+    )
+    acc_s[rows] = new_s
+    acc_i[rows] = new_i
+
+
+def _merge_tile_mlazy(scores, col0, acc_s, acc_i, rows, n_valid, *, k: int, sub: int):
+    """Sub-block-maxima prologue + lazy in-body id extraction: the ONLY
+    unconditional full-tile pass is the per-sub-block max reduction
+    ([TQ, TN] -> [TQ, TN/sub] via a minor-dim-split reshape, measured ~0.5 ms
+    vs ~1.1 ms/full pass at Q=1024/1M); row maxima and pad masking then run
+    on the 64x narrower maxima array. Everything else — candidate id
+    extraction, the validity guard, successor search — happens INSIDE the
+    merge loop, which only runs when some row improves.
+
+    vs the invariant merge's unconditional tax (mask 1 + row-max 1 + argmax
+    ~2 full passes): all replaced by the m pass + narrow ops. vs
+    ``twolevel``: no staging buffer and no block serialization — every loop
+    iteration extracts one candidate per row over the full tile, so rows
+    progress in parallel (the twolevel block walk measured 25 ms of
+    serialized narrow iterations at Q=1024/1M; this body costs ~1 wide pass
+    more per iteration than the invariant body but iterations are as rare).
+
+    Pad handling (exactness): wholly-invalid sub-blocks are retired on the
+    [1, NB] maxima row; a boundary sub-block straddling ``n_valid`` may
+    inflate its row's max with a pad-column 0.0 — the in-body ``valid``
+    guard then yields an empty candidate set (cur_i == INT_MAX), the
+    insertion is voided via a NEG_INF score, and the successor search (also
+    valid-guarded) recovers the true next score. ``prev_i`` keeps the
+    maxlazy tie-run walk, with an extra ``cur_i != INT_MAX`` guard so an
+    inflated entry cannot corrupt the run position.
+    """
+    tq, tn = scores.shape
+    nb = tn // sub
+    m = jnp.max(jnp.reshape(scores, (tq, nb, sub)), axis=-1)  # [TQ, NB]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    m = jnp.where(col0 + iota_b * sub < n_valid, m, NEG_INF)
+    row_max = jnp.max(m, axis=-1)  # [TQ]
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    def cond(state):
+        a_s, _, cur_s, _ = state
+        return jnp.any(cur_s > a_s[:, k - 1])
+
+    def body(state):
+        a_s, a_i, cur_s, prev_i = state
+        eq = scores == cur_s[:, None]
+        if not _MLAZY_NOGUARD:
+            eq = eq & ((col0 + iota) < n_valid)
+        cand = eq & (iota > prev_i[:, None])
+        cur_i = jnp.min(jnp.where(cand, iota, _INT_MAX), axis=-1).astype(jnp.int32)
+        # Void the insertion for rows whose candidate set is empty (the
+        # inflated-boundary case): NEG_INF scores always land at pos == k.
+        s_ins = jnp.where(cur_i == _INT_MAX, NEG_INF, cur_s)
+        a_s, a_i = _sorted_insert(a_s, a_i, s_ins, cur_i + col0, k)
+        later = (scores < cur_s[:, None]) | (eq & (iota > cur_i[:, None]))
+        if not _MLAZY_NOGUARD:
+            later = later & ((col0 + iota) < n_valid)
+        nxt_s = jnp.max(jnp.where(later, scores, NEG_INF), axis=-1)
+        prev_i = jnp.where(
+            (nxt_s == cur_s) & (cur_i != _INT_MAX), cur_i, jnp.int32(-1)
+        )
+        return a_s, a_i, nxt_s, prev_i
+
+    prev0 = jnp.full(row_max.shape, jnp.int32(-1))
+    new_s, new_i, _, _ = jax.lax.while_loop(
+        cond, body, (acc_s[rows], acc_i[rows], row_max, prev0)
+    )
+    acc_s[rows] = new_s
+    acc_i[rows] = new_i
+
+
 def _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int):
     """Merge a [TQ, TN] score tile into the running top-k in column slices.
 
@@ -496,14 +698,27 @@ def _merge_tile_sliced(scores, col0, acc_s, acc_i, rows, *, k: int, slice_n: int
         kth = acc_s[rows][:, k - 1]
 
 
-def _merge_tile(scores, col0, acc_s, acc_i, rows, j, *, k: int, slice_n: int, variant: str):
+def _merge_tile(scores, col0, acc_s, acc_i, rows, j, *, k: int, slice_n: int, variant: str, n_valid=None, buf=None):
     """Dispatch between merge strategies (RAGFIN_MERGE_VARIANT / slice_n).
+
+    ``twolevel`` receives UNMASKED scores plus the ``n_valid`` scalar and
+    handles pad-column masking itself at sub-block granularity (see
+    :func:`_merge_tile_twolevel`); every other variant expects pre-masked
+    scores.
 
     ``mask`` uses the bitmask first-k extraction for warm tiles but seeds
     tile j==0 with the score-ordered streaming merge — a cold accumulator
     (kth == -inf) would make EVERY position a candidate and degenerate the
     id-ordered extraction into block_n iterations."""
-    if variant == "mask":
+    if variant == "twolevel":
+        _merge_tile_twolevel(
+            scores, col0, acc_s, acc_i, rows, n_valid, buf, k=k, sub=_TWOLEVEL_SUB
+        )
+    elif variant == "mlazy":
+        _merge_tile_mlazy(
+            scores, col0, acc_s, acc_i, rows, n_valid, k=k, sub=_TWOLEVEL_SUB
+        )
+    elif variant == "mask":
         @pl.when(j == 0)
         def _seed():
             new_s, new_i = _stream_merge(scores, col0, acc_s[rows], acc_i[rows], k)
@@ -537,7 +752,7 @@ def _fused_kernel(
     out_i_ref,
     acc_s,
     acc_i,
-    *,
+    *scratch,
     k: int,
     block_q: int,
     block_n: int,
@@ -580,16 +795,23 @@ def _fused_kernel(
         precision=_PRECISIONS[precision],
     )
     col0 = j * block_n
-    # Pad-column masking. A full-tile iota+compare+select is ~3 VPU passes;
-    # comparing on a [1, TN] iota row and broadcasting the select along the
-    # sublanes costs ~1. (A scalar pl.when branch that skips masking on
-    # interior tiles measured SLOWER — the conditional region breaks
-    # Mosaic's cross-step pipelining; see probe_results.log v6 vs big.)
-    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
-    valid_row = (col0 + iota_row) < n_valid_ref[0]
-    scores = jnp.where(valid_row, scores, NEG_INF)
+    if variant not in ("twolevel", "mlazy"):
+        # Pad-column masking. A full-tile iota+compare+select is ~3 VPU
+        # passes; comparing on a [1, TN] iota row and broadcasting the select
+        # along the sublanes costs ~1. (A scalar pl.when branch that skips
+        # masking on interior tiles measured SLOWER — the conditional region
+        # breaks Mosaic's cross-step pipelining; see probe_results.log v6 vs
+        # big.) The twolevel variant masks at sub-block granularity instead —
+        # zero full-tile passes.
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
+        valid_row = (col0 + iota_row) < n_valid_ref[0]
+        scores = jnp.where(valid_row, scores, NEG_INF)
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    _merge_tile(
+        scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n,
+        variant=variant, n_valid=n_valid_ref[0],
+        buf=scratch[0] if scratch else None,
+    )
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -664,7 +886,14 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
             scratch_shapes=[
                 pltpu.VMEM((qp, k), jnp.float32),
                 pltpu.VMEM((qp, k), jnp.int32),
-            ],
+            ]
+            + (
+                # Block-major staging buffer for the two-level merge's
+                # dynamic sub-block extraction (see _merge_tile_twolevel).
+                [pltpu.VMEM((block_n // _TWOLEVEL_SUB, block_q, _TWOLEVEL_SUB), jnp.float32)]
+                if variant == "twolevel"
+                else []
+            ),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((qp, k), jnp.float32),
@@ -760,7 +989,7 @@ def _fused_kernel_int8(
     out_i_ref,
     acc_s,
     acc_i,
-    *,
+    *scratch,
     k: int,
     block_q: int,
     block_n: int,
@@ -788,11 +1017,16 @@ def _fused_kernel_int8(
     # Only the per-COLUMN corpus scale must be applied before the merge.
     scores = int_scores.astype(jnp.float32) * cscale
     col0 = j * block_n
-    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
-    valid_row = (col0 + iota_row) < n_valid_ref[0]
-    scores = jnp.where(valid_row, scores, NEG_INF)
+    if variant not in ("twolevel", "mlazy"):
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[-1]), 1)
+        valid_row = (col0 + iota_row) < n_valid_ref[0]
+        scores = jnp.where(valid_row, scores, NEG_INF)
 
-    _merge_tile(scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n, variant=variant)
+    _merge_tile(
+        scores, col0, acc_s, acc_i, rows, j, k=k, slice_n=slice_n,
+        variant=variant, n_valid=n_valid_ref[0],
+        buf=scratch[0] if scratch else None,
+    )
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _flush():
@@ -864,7 +1098,12 @@ def _fused_call_int8(queries, corpus_i8, scales, k, n_valid, block_q, block_n, i
             scratch_shapes=[
                 pltpu.VMEM((qp, k), jnp.float32),
                 pltpu.VMEM((qp, k), jnp.int32),
-            ],
+            ]
+            + (
+                [pltpu.VMEM((block_n // _TWOLEVEL_SUB, block_q, _TWOLEVEL_SUB), jnp.float32)]
+                if variant == "twolevel"
+                else []
+            ),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((qp, k), jnp.float32),

@@ -182,6 +182,39 @@ EXPERIMENTS = {
     "bf16bq128_bn4096_q1024": ("bf16", 4096, 1024, 0, "invariant", 128),
     "bf16bq128_bn6144_q1024": ("bf16", 6144, 1024, 0, "invariant", 128),
     "tenmbq128_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "invariant", 128),
+    # twol_* = two-level in-tile selection (_merge_tile_twolevel): sub-block
+    # maxima drive the merge; no full-tile mask/argmax passes. Flat layout
+    # for apples-to-apples vs int8bq128/bf16v7 lines above ("tenmx" prefix =
+    # 10M without the tiled-name trap).
+    "canary_twol_64k": ("bf16", 2048, 8, 0, "twolevel", 64),
+    "twol_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "twolevel", 128),
+    "twol_int8_bn8192_q64": ("int8", 8192, 64, 0, "twolevel", 64),
+    "twol_bf16_bn6144_q1024": ("bf16", 6144, 1024, 0, "twolevel", 64),
+    "twol_bf16_bn6144_q64": ("bf16", 6144, 64, 0, "twolevel", 64),
+    "tenmx_twol_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "twolevel", 128),
+    # mlazy = sub-block-maxima prologue (~0.5 ms vs 4 full passes) + lazy
+    # in-body id extraction; rows progress in parallel (no block walk).
+    "mlazy_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "mlazy", 128),
+    # bn8192 x bq128 OOMs scoped VMEM by 1.1M (body mask temps): smaller
+    # corpus tile or query tile fits.
+    "mlazy_int8_bn6144_q1024": ("int8", 6144, 1024, 0, "mlazy", 128),
+    "mlazy_int8_bn8192bq64_q1024": ("int8", 8192, 1024, 0, "mlazy", 64),
+    "tenmx_mlazy_int8_bn6144_q1024": ("int8", 6144, 1024, 0, "mlazy", 128),
+    "lzbq128_int8_bn6144_q1024": ("int8", 6144, 1024, 0, "maxlazy", 128),
+    "inv_int8_bn6144bq128_q1024": ("int8", 6144, 1024, 0, "invariant", 128),
+    # maxlazy block-shape sweep around the 11.33 ms winner.
+    "lzbq128_int8_bn4096_q1024": ("int8", 4096, 1024, 0, "maxlazy", 128),
+    "lzbq256_int8_bn6144_q1024": ("int8", 6144, 1024, 0, "maxlazy", 256),
+    "lzbq256_int8_bn4096_q1024": ("int8", 4096, 1024, 0, "maxlazy", 256),
+    "lzbq128_bf16_bn4096_q1024": ("bf16", 4096, 1024, 0, "maxlazy", 128),
+    "lzbq128_bf16_bn6144_q1024": ("bf16", 6144, 1024, 0, "maxlazy", 128),
+    "tenmx_lzbq128_int8_bn6144_q1024": ("int8", 6144, 1024, 0, "maxlazy", 128),
+    "tenmx_lzbq128_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "maxlazy", 128),
+    "mlazy_int8_bn8192_q64": ("int8", 8192, 64, 0, "mlazy", 64),
+    "mlazy_bf16_bn6144_q1024": ("bf16", 6144, 1024, 0, "mlazy", 64),
+    "mlazy_bf16_bn6144_q64": ("bf16", 6144, 64, 0, "mlazy", 64),
+    "tenmx_mlazy_int8_bn8192_q1024": ("int8", 8192, 1024, 0, "mlazy", 128),
+    "tenmx_mlazy_int8_bn8192_q64": ("int8", 8192, 64, 0, "mlazy", 64),
 }
 
 

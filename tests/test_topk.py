@@ -62,10 +62,11 @@ class TestAgainstOracle:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
 
-    @pytest.mark.parametrize("variant", ["carry", "mask"])
+    @pytest.mark.parametrize("variant", ["carry", "mask", "twolevel"])
     def test_fused_merge_variants(self, data, k, variant):
-        """All merge variants (carry / mask-extraction) must agree with the
-        oracle exactly; "mask" additionally exercises the tile-0 seed path."""
+        """All merge variants (carry / mask-extraction / two-level) must agree
+        with the oracle exactly; "mask" additionally exercises the tile-0 seed
+        path, "twolevel" the sub-block maxima + staging-buffer extraction."""
         q, c = data
         s, i = cosine_topk_fused(
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant=variant
@@ -166,6 +167,12 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="mask"
         )
         assert np.array_equal(np.asarray(im), ei)
+        # Two-level merge: every sub-block improves on the ascending corpus,
+        # so the improving-block scan degenerates to visiting all of them.
+        st, it = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="twolevel"
+        )
+        assert np.array_equal(np.asarray(it), ei)
 
     def test_tie_heavy_scores(self):
         """Quantized values produce massive exact-score ties; stable
@@ -201,6 +208,13 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=128, variant="maxlazy"
         )
         assert np.array_equal(np.asarray(il), ei)
+        # Two-level merge under massive exact ties: ascending block order +
+        # the strict > gate must reproduce the stable (score desc, id asc)
+        # order across sub-block boundaries.
+        s2, i2 = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="twolevel"
+        )
+        assert np.array_equal(np.asarray(i2), ei)
 
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)

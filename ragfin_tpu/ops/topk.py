@@ -36,12 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 _INT_MAX = 0x7FFFFFFF
 
-# Merge-loop variant for the fused kernels: "invariant" (default) closes
-# over the score tile (_stream_merge); "carry" threads a masked copy through
-# the while loop; "mask" extracts candidates in id order from a hit bitmask
-# (_stream_merge_mask) with an invariant-merge seed on tile 0.
-# Env-selectable for A/B probes on hardware.
-_MERGE_VARIANT = os.environ.get("RAGFIN_MERGE_VARIANT", "invariant")
+# Merge-loop variant for the fused kernels: "invariant" closes over the
+# score tile (_stream_merge); "maxlazy" defers id extraction into the while
+# body (_stream_merge_maxlazy); "carry" threads a masked copy through the
+# while loop; "mask" extracts candidates in id order from a hit bitmask
+# (_stream_merge_mask) with an invariant-merge seed on tile 0. Env override
+# for A/B probes on hardware; unset → the measured-winner per-shape default
+# (_default_variant).
+_MERGE_VARIANT = os.environ.get("RAGFIN_MERGE_VARIANT") or None
 _MERGE_INVARIANT = _MERGE_VARIANT != "carry"
 
 # Merge slice width (see _merge_tile_sliced): the [TQ, TN] score tile is
@@ -912,30 +914,52 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     return out_s[:q], out_i[:q]
 
 
+def _default_variant(n_queries: Optional[int]) -> str:
+    """Measured-winner merge variant (probe_results.log, v5e).
+
+    ``maxlazy`` wins at large Q with block_q=128 — lazy in-body id
+    extraction makes the per-tile prologue one row-max, and big query tiles
+    make improvements rare enough that the pricier body never dominates:
+    int8 Q=1024/1M 11.94 -> 11.33 ms (90.4K QPS), 10M 73.13 -> 66.85 ms
+    (15.3K QPS), bf16 Q=1024/1M 15.08 -> 14.50 ms. At small Q it is a wash
+    or slightly worse (int8 Q=64: 3.67 vs 3.59 ms), so the invariant merge
+    stays the small-Q default. ``RAGFIN_MERGE_VARIANT`` overrides for A/B
+    probes."""
+    if _MERGE_VARIANT is not None:
+        return _MERGE_VARIANT
+    return "maxlazy" if n_queries is not None and n_queries >= 128 else "invariant"
+
+
 def _default_blocks(corpus_dtype, block_q, block_n, precision="fast", n_queries=None):
     """Measured-winner default tile sizes (probe_results.log, v5e).
 
     Big corpus blocks amortize per-grid-step overhead. ``block_q`` is
-    Q-dependent for the int8 tier: at small Q, 64 halves the VPU merge-pass
-    width (padded rows cost real passes); at Q >= 128 a 128-row LHS fills
-    the MXU's sublanes and halves the grid-step count — measured int8
-    Q=1024 12.68 -> 11.94 ms (85.8K QPS), 10M 79.97 -> 73.13 ms (14.0K
-    QPS). bf16 stays at 64 (bq=128 needed bn=4096 to fit VMEM and only
-    tied: 14.91 vs 15.08). ``block_n`` is bounded by the 16 MB scoped-VMEM
-    budget (two double-buffered corpus tiles + the f32 score tile): int8
-    fits 8192, bf16 single-pass fits 6144. The exact tier keeps f32
-    queries, so a bf16 corpus tile is upcast to an f32 copy in-kernel —
-    that (and a plain f32 corpus) stays at 2048."""
+    Q-dependent: at small Q, 64 halves the VPU merge-pass width (padded
+    rows cost real passes); at Q >= 128 a 128-row LHS fills the MXU's
+    sublanes and halves the grid-step count — measured (with the maxlazy
+    merge, `_default_variant`) int8 Q=1024 12.68 -> 11.33 ms @1M and
+    79.97 -> 66.85 ms @10M; bf16 Q=1024 15.08 -> 14.50 ms @1M. ``block_n``
+    is bounded by the 16 MB scoped-VMEM budget (two double-buffered corpus
+    tiles + the f32 score tile): at block_q=64 int8 fits 8192 and bf16
+    single-pass fits 6144; at block_q=128 the wider accumulator state
+    shifts the winners down (int8: bn=6144 measured 11.33/66.85 vs 11.94
+    @8192; bf16: bn=4096 measured 14.50 vs 14.74 @6144). The exact tier
+    keeps f32 queries, so a bf16 corpus tile is upcast to an f32 copy
+    in-kernel — that (and a plain f32 corpus) stays at 2048."""
+    big_q = n_queries is not None and n_queries >= 128
     if block_q is None:
-        if corpus_dtype == jnp.int8 and n_queries is not None and n_queries >= 128:
+        if big_q and (
+            corpus_dtype == jnp.int8
+            or (corpus_dtype == jnp.bfloat16 and precision == "fast")
+        ):
             block_q = 128
         else:
             block_q = 64
     if block_n is None:
         if corpus_dtype == jnp.int8:
-            block_n = 8192
+            block_n = 6144 if block_q >= 128 else 8192
         elif corpus_dtype == jnp.bfloat16 and precision == "fast":
-            block_n = 6144
+            block_n = 4096 if block_q >= 128 else 6144
         else:
             block_n = 2048
     return block_q, block_n
@@ -969,7 +993,7 @@ def cosine_topk_fused(
     if slice_n is None:
         slice_n = _MERGE_SLICE
     if variant is None:
-        variant = _MERGE_VARIANT
+        variant = _default_variant(queries.shape[0])
     block_q, block_n = _default_blocks(
         corpus_t.dtype, block_q, block_n, precision, n_queries=queries.shape[0]
     )
@@ -1145,7 +1169,7 @@ def cosine_topk_fused_int8(
     if slice_n is None:
         slice_n = _MERGE_SLICE
     if variant is None:
-        variant = _MERGE_VARIANT
+        variant = _default_variant(queries.shape[0])
     block_q, block_n = _default_blocks(
         jnp.int8, block_q, block_n, n_queries=queries.shape[0]
     )

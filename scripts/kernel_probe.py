@@ -351,6 +351,42 @@ def oracle_check(padded: bool = False) -> None:
     assert ids_match
 
 
+def oracle_check_bigq() -> None:
+    """Hardware oracle at the LARGE-Q production defaults (maxlazy merge +
+    block_q=128, ops/topk.py _default_variant/_default_blocks): the maxlazy
+    while-body's Mosaic lowering only executes on hardware, so CPU-interpret
+    parity does not cover it. bf16 fast tier vs the dense fast path (same
+    bf16 MXU products); int8 fused (deferred query scale) vs the dense int8
+    path (same int32 dot products — only the f32 dequant association
+    differs, so ids may flip only on f32-rounding ties)."""
+    n, q, k = 65536, 1024, 10
+    n_valid = n - 1234
+    ct = jax.random.normal(jax.random.PRNGKey(3), (D, n), jnp.float32)
+    ct = (ct / jnp.linalg.norm(ct, axis=0, keepdims=True)).astype(jnp.bfloat16)
+    qs = jax.random.normal(jax.random.PRNGKey(4), (q, D), jnp.float32)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    sf, if_ = T.cosine_topk_fused(qs, ct, k, n_valid=n_valid, precision="fast")
+    sd, id_ = T.cosine_topk_dense(qs, ct, k, n_valid=n_valid, precision="fast")
+    bf_match = float(jnp.mean((if_ == id_).astype(jnp.float32)))
+    bf_err = float(jnp.max(jnp.abs(sf - sd)))
+    c8, sc = quantize_corpus_t(ct)
+    s8, i8 = T.cosine_topk_fused_int8(qs, c8, sc, k, n_valid=n_valid)
+    sd8, id8 = T.cosine_topk_dense_int8(qs, c8, sc, k, n_valid=n_valid)
+    i8_match = float(jnp.mean((i8 == id8).astype(jnp.float32)))
+    s8_err = float(jnp.max(jnp.abs(s8 - sd8)))
+    assert int(jnp.max(if_)) < n_valid and int(jnp.max(i8)) < n_valid
+    line = (
+        f"oracle_check_bigq N={n} Q={q}: bf16_ids_frac={bf_match:.4f} "
+        f"bf16_score_err={bf_err:.2e} int8_ids_frac={i8_match:.4f} "
+        f"int8_score_err={s8_err:.2e}"
+    )
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+    assert bf_match > 0.999 and i8_match > 0.999
+    assert bf_err < 1e-2 and s8_err < 1e-2
+
+
 def noscan_1m() -> None:
     """Isolate compile vs run at 1M: single direct fused call, no scan."""
     n, q, k = 1_000_000, 64, 10
@@ -952,6 +988,8 @@ def main(name: str) -> None:
     if name == "oracle_check":
         _stage(f"start oracle_check backend={jax.default_backend()}")
         return oracle_check()
+    if name == "oracle_check_bigq":
+        return oracle_check_bigq()
     if name == "oracle_check_padded":
         _stage(f"start oracle_check_padded backend={jax.default_backend()}")
         return oracle_check(padded=True)

@@ -237,6 +237,49 @@ class TestDispatch:
             cosine_topk(jnp.asarray(q), jnp.asarray(c), 3, method="bogus")
 
 
+class TestLargeQDefaults:
+    """The production defaults are Q-dependent (ops/topk.py _default_variant /
+    _default_blocks): batches of >=128 queries select the maxlazy merge at
+    block_q=128 with per-dtype block_n winners. Pin the selection logic and
+    run the default large-Q path (with a test-sized block_n) end to end."""
+
+    def test_default_selection(self):
+        from ragfin_tpu.ops.topk import _default_blocks, _default_variant
+
+        assert _default_variant(64) == "invariant"
+        assert _default_variant(128) == "maxlazy"
+        assert _default_variant(None) == "invariant"
+        assert _default_blocks(jnp.int8, None, None, n_queries=1024) == (128, 6144)
+        assert _default_blocks(jnp.int8, None, None, n_queries=64) == (64, 8192)
+        assert _default_blocks(jnp.bfloat16, None, None, "fast", 1024) == (128, 4096)
+        assert _default_blocks(jnp.bfloat16, None, None, "fast", 64) == (64, 6144)
+        # The exact tier keeps f32 math and its own block budget at any Q.
+        assert _default_blocks(jnp.float32, None, None, "exact", 1024) == (64, 2048)
+
+    def test_default_large_q_path_matches_oracle(self):
+        rng = np.random.default_rng(9)
+        d, n, k, qn = 32, 700, 5, 130  # qn >= 128 → maxlazy merge, block_q=128
+        q = _random_unit(rng, qn, d)
+        c = _random_unit(rng, n, d).T.copy()
+        s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), k, n_valid=n, block_n=256)
+        es, ei = _numpy_oracle(q, c, k)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(i), ei)
+
+    def test_default_large_q_int8_matches_dense_int8(self):
+        from ragfin_tpu.ops.quantize import quantize_corpus_t
+        from ragfin_tpu.ops.topk import cosine_topk_dense_int8, cosine_topk_fused_int8
+
+        rng = np.random.default_rng(10)
+        d, n, k, qn = 32, 700, 5, 130
+        q = jnp.asarray(_random_unit(rng, qn, d))
+        c8, sc = quantize_corpus_t(jnp.asarray(_random_unit(rng, n, d).T.copy()))
+        s8, i8 = cosine_topk_fused_int8(q, c8, sc, k, n_valid=n, block_n=256)
+        sd, id_ = cosine_topk_dense_int8(q, c8, sc, k, n_valid=n)
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(sd), rtol=1e-5, atol=1e-6)
+        assert np.array_equal(np.asarray(i8), np.asarray(id_))
+
+
 class TestInt8:
     def test_agreement_with_f32(self, data):
         from ragfin_tpu.ops.quantize import quantize_corpus_t

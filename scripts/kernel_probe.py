@@ -230,6 +230,13 @@ def ceiling_q1024(which: str) -> None:
     row-max (the minimum any exact-selection scheme must pay); 'prologue' =
     + row argmax (what the invariant merge pays before any iteration).
     The gap (kernel - prologue ceiling) is pure while-loop iteration cost.
+
+    Integer modes (no f32 dequant anywhere — the cost model for a
+    GLOBAL-scale int8 kernel whose selection runs on raw int32 scores):
+    'mmint' = int32 matmul accumulate only; 'rowmaxint' = + int mask +
+    int32 row-max. The mm - mmint gap is the per-tile [TQ, TN] f32
+    dequant+materialization tax that per-column scales force on every
+    selection scheme.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -242,6 +249,9 @@ def ceiling_q1024(which: str) -> None:
     n, bn, q = 1_000_000, 8192, 1024
     npad = -(-n // bn) * bn
 
+    int_mode = which in ("mmint", "rowmaxint")
+    acc_dtype = jnp.int32 if int_mode else jnp.float32
+
     def kern(q_ref, ct_ref, cs_ref, out_ref, acc):
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -249,13 +259,23 @@ def ceiling_q1024(which: str) -> None:
 
         @pl.when(j == 0)
         def _init():
-            acc[rows] = jnp.zeros((bq, 1), jnp.float32)
+            acc[rows] = jnp.zeros((bq, 1), acc_dtype)
 
         int_scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.int32)
-        scores = int_scores.astype(jnp.float32) * cs_ref[:]
-        if which == "mm":
+        if which == "mmint":
+            acc[rows] = acc[rows] + int_scores[:, :1]
+        elif which == "rowmaxint":
+            col0 = j * bn
+            iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
+            masked = jnp.where(
+                (col0 + iota_row) < n, int_scores, jnp.int32(-(2**31) + 1)
+            )
+            acc[rows] = acc[rows] + jnp.max(masked, axis=-1, keepdims=True)
+        elif which == "mm":
+            scores = int_scores.astype(jnp.float32) * cs_ref[:]
             acc[rows] = acc[rows] + scores[:, :1]
         else:
+            scores = int_scores.astype(jnp.float32) * cs_ref[:]
             col0 = j * bn
             iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
             scores = jnp.where((col0 + iota_row) < n, scores, T.NEG_INF)
@@ -268,7 +288,7 @@ def ceiling_q1024(which: str) -> None:
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _flush():
-            out_ref[:] = acc[rows]
+            out_ref[:] = acc[rows].astype(out_ref.dtype)
 
     ct = jax.random.normal(jax.random.PRNGKey(0), (D, npad), jnp.bfloat16)
     c8, cs = quantize_corpus_t(ct)
@@ -286,7 +306,7 @@ def ceiling_q1024(which: str) -> None:
             ],
             out_specs=pl.BlockSpec((bq, 1), lambda j, i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((q, 1), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((q, 1), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((q, 1), acc_dtype)],
         )(qq, c, s)
 
     @jax.jit

@@ -187,6 +187,29 @@ class HashedFeaturizer:
             out[fid] = w
         return out
 
+    @staticmethod
+    def _canonical_order(ids: np.ndarray, wts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Sort each row's features by (id, weight), zero-weight entries last.
+
+        Feature EMISSION order follows first-occurrence token order, which
+        varies with bytes that produce no features (dropped data-value
+        numbers shift hash-scan order) — so two texts with IDENTICAL feature
+        multisets can present them in different permutations. Every
+        downstream f32 reduction (row L2 norms in the exact-bucket scorer,
+        the JL bag sum behind the device matrix) is accumulation-order
+        sensitive, and a 1-ulp norm difference between figure-perturbed
+        near-duplicates silently breaks the lowest-row tie-break that exact
+        scoring guarantees (measured: the one residual zero-recall query at
+        1M+20k scale — gold's norm landed one ulp high and lost every "tie"
+        to ~200 forgeries). Canonical ordering makes equal multisets bitwise
+        identical everywhere."""
+        sentinel = np.where(wts != 0, ids, np.int32(np.iinfo(np.int32).max))
+        order = np.lexsort((wts, sentinel))  # per-row: id asc, then weight
+        return (
+            np.take_along_axis(ids, order, axis=-1),
+            np.take_along_axis(wts, order, axis=-1),
+        )
+
     def encode_batch(
         self,
         texts: Sequence[str],
@@ -197,7 +220,8 @@ class HashedFeaturizer:
 
         L is the max feature count in the batch rounded up to ``pad_multiple``
         (static-shape friendly for jit caching); padding uses id 0 with weight
-        0 so padded entries contribute nothing to the bag sum.
+        0 so padded entries contribute nothing to the bag sum. Rows are in
+        canonical (id-sorted) feature order — see :meth:`_canonical_order`.
         """
         native = self._native_batch(list(texts))
         if native is not None:
@@ -215,7 +239,7 @@ class HashedFeaturizer:
                 idf = self._idf_array()[ids]
                 wts = wts * idf if self.drop_oov else wts * np.where(idf > 0, idf, math.log(1 + self.n_docs) + 1.0)
             wts = np.where(tf > 0, wts, 0.0).astype(np.float32)
-            return ids, wts
+            return self._canonical_order(ids, wts)
 
         weighted = [self.weigh(self.feature_ids(t)) for t in texts]
         max_len = max((len(w) for w in weighted), default=1)
@@ -227,7 +251,7 @@ class HashedFeaturizer:
             for col, (fid, w) in enumerate(items):
                 ids[row, col] = fid
                 wts[row, col] = w
-        return ids, wts
+        return self._canonical_order(ids, wts)
 
     # --- persistence -----------------------------------------------------
     def state_dict(self) -> dict:

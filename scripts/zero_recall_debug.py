@@ -46,7 +46,7 @@ def main() -> None:
     for q in qa:
         hits = fs.search_texts([q.question], top_k=10)[0]
         got = [h.record.id for h in hits]
-        gold = set(q.expected_relevant_chunks)
+        gold = set(q.expected_chunks)
         rec = len(gold & set(got)) / max(1, len(gold))
         line = {"question": q.question, "recall@10": rec, "gold": sorted(gold), "got": got}
         if rec == 0.0:

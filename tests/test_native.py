@@ -64,6 +64,60 @@ class TestNativeParity:
         assert native == python
 
 
+class TestCanonicalFeatureOrder:
+    """encode_batch must present equal feature MULTISETS identically.
+
+    Feature emission follows first-occurrence token order, which shifts with
+    bytes that produce no features (dropped data-value numbers). Downstream
+    f32 reductions (row norms, JL bag sums) are accumulation-order
+    sensitive, so without canonical ordering two figure-perturbed
+    near-duplicates drift apart by an ulp and the exact-tie lowest-row
+    tie-break silently breaks (the 1M+20k residual zero-recall query)."""
+
+    GOLD = (
+        "ICICI Bank Limited Q1_FY2024 Key Financial Ratios & Metrics:\n\n"
+        "EARNINGS METRICS:\n• Basic EPS: ₹15.22 per share (+43.3% YoY)\n"
+        "• Diluted EPS: ₹14.91 per share\n\n"
+    )
+
+    def _pair(self):
+        from ragfin_tpu.eval.distractors import _perturb_figures
+
+        r = np.random.default_rng(7)
+        return [self.GOLD, _perturb_figures(self.GOLD, r)]
+
+    def test_native_rows_bitwise_identical(self):
+        f = HashedFeaturizer()
+        ids, wts = f.encode_batch(self._pair())
+        assert np.array_equal(ids[0], ids[1])
+        assert np.array_equal(wts[0], wts[1])
+        # Rows are id-sorted over the non-zero-weight prefix.
+        nz = wts[0] != 0
+        assert np.all(np.diff(ids[0][nz]) >= 0)
+
+    def test_python_fallback_rows_bitwise_identical(self):
+        f = HashedFeaturizer()
+        f._native_batch = lambda *a, **k: None  # force the Python path
+        ids, wts = f.encode_batch(self._pair())
+        assert np.array_equal(ids[0], ids[1])
+        assert np.array_equal(wts[0], wts[1])
+
+    def test_gold_wins_tie_against_figure_perturbed_dupes(self, reference_root):
+        import os
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.distractors import generate_inscope_distractors
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        real = build_corpus(os.path.join(reference_root, "extract_data"))
+        dupes = generate_inscope_distractors(real, 400, seed=11, tiers=("dupe",))
+        idx = DeviceVectorIndex.build(list(real) + dupes)
+        fs = FilteredSearch(idx, consistency_weight=0.95)
+        hits = fs.search_texts(["What was the basic EPS in Q1 FY2024?"], top_k=10)[0]
+        assert hits[0].record.id == "icici_q1_fy2024_key_ratios"
+
+
 class TestIndexIO:
     def test_roundtrip_f32(self, tmp_path):
         from ragfin_tpu.utils import indexio

@@ -914,20 +914,35 @@ def _fused_call(queries, corpus_t, k, n_valid, block_q, block_n, precision, inte
     return out_s[:q], out_i[:q]
 
 
-def _default_variant(n_queries: Optional[int]) -> str:
+def _big_q_tiles(corpus_dtype, precision: str, n_queries: Optional[int]) -> bool:
+    """True when the measured-winner large-Q regime applies: >=128 queries
+    on a tier whose kernel runs 128-row LHS tiles (int8, or bf16 single-pass
+    'fast'). The exact tier (f32 math) keeps its own measured defaults."""
+    return (
+        n_queries is not None
+        and n_queries >= 128
+        and (
+            corpus_dtype == jnp.int8
+            or (corpus_dtype == jnp.bfloat16 and precision == "fast")
+        )
+    )
+
+
+def _default_variant(corpus_dtype, precision: str, n_queries: Optional[int]) -> str:
     """Measured-winner merge variant (probe_results.log, v5e).
 
     ``maxlazy`` wins at large Q with block_q=128 — lazy in-body id
     extraction makes the per-tile prologue one row-max, and big query tiles
     make improvements rare enough that the pricier body never dominates:
     int8 Q=1024/1M 11.94 -> 11.33 ms (90.4K QPS), 10M 73.13 -> 66.85 ms
-    (15.3K QPS), bf16 Q=1024/1M 15.08 -> 14.50 ms. At small Q it is a wash
-    or slightly worse (int8 Q=64: 3.67 vs 3.59 ms), so the invariant merge
-    stays the small-Q default. ``RAGFIN_MERGE_VARIANT`` overrides for A/B
-    probes."""
+    (15.3K QPS), bf16 Q=1024/1M 15.08 -> 14.50 ms. It is tied to the
+    block_q=128 regime (`_big_q_tiles`): at block_q=64 maxlazy measured a
+    REGRESSION (int8 Q=1024 13.10 vs 12.68 ms), so small-Q batches and the
+    f32-exact tier keep the invariant merge. ``RAGFIN_MERGE_VARIANT``
+    overrides for A/B probes."""
     if _MERGE_VARIANT is not None:
         return _MERGE_VARIANT
-    return "maxlazy" if n_queries is not None and n_queries >= 128 else "invariant"
+    return "maxlazy" if _big_q_tiles(corpus_dtype, precision, n_queries) else "invariant"
 
 
 def _default_blocks(corpus_dtype, block_q, block_n, precision="fast", n_queries=None):
@@ -946,15 +961,8 @@ def _default_blocks(corpus_dtype, block_q, block_n, precision="fast", n_queries=
     @8192; bf16: bn=4096 measured 14.50 vs 14.74 @6144). The exact tier
     keeps f32 queries, so a bf16 corpus tile is upcast to an f32 copy
     in-kernel — that (and a plain f32 corpus) stays at 2048."""
-    big_q = n_queries is not None and n_queries >= 128
     if block_q is None:
-        if big_q and (
-            corpus_dtype == jnp.int8
-            or (corpus_dtype == jnp.bfloat16 and precision == "fast")
-        ):
-            block_q = 128
-        else:
-            block_q = 64
+        block_q = 128 if _big_q_tiles(corpus_dtype, precision, n_queries) else 64
     if block_n is None:
         if corpus_dtype == jnp.int8:
             block_n = 6144 if block_q >= 128 else 8192
@@ -993,7 +1001,7 @@ def cosine_topk_fused(
     if slice_n is None:
         slice_n = _MERGE_SLICE
     if variant is None:
-        variant = _default_variant(queries.shape[0])
+        variant = _default_variant(corpus_t.dtype, precision, queries.shape[0])
     block_q, block_n = _default_blocks(
         corpus_t.dtype, block_q, block_n, precision, n_queries=queries.shape[0]
     )
@@ -1169,7 +1177,7 @@ def cosine_topk_fused_int8(
     if slice_n is None:
         slice_n = _MERGE_SLICE
     if variant is None:
-        variant = _default_variant(queries.shape[0])
+        variant = _default_variant(jnp.int8, "fast", queries.shape[0])
     block_q, block_n = _default_blocks(
         jnp.int8, block_q, block_n, n_queries=queries.shape[0]
     )

@@ -1009,6 +1009,7 @@ def main(name: str) -> None:
         _stage(f"start oracle_check backend={jax.default_backend()}")
         return oracle_check()
     if name == "oracle_check_bigq":
+        _stage(f"start oracle_check_bigq backend={jax.default_backend()}")
         return oracle_check_bigq()
     if name == "oracle_check_padded":
         _stage(f"start oracle_check_padded backend={jax.default_backend()}")

@@ -246,9 +246,15 @@ class TestLargeQDefaults:
     def test_default_selection(self):
         from ragfin_tpu.ops.topk import _default_blocks, _default_variant
 
-        assert _default_variant(64) == "invariant"
-        assert _default_variant(128) == "maxlazy"
-        assert _default_variant(None) == "invariant"
+        assert _default_variant(jnp.int8, "fast", 64) == "invariant"
+        assert _default_variant(jnp.int8, "fast", 128) == "maxlazy"
+        assert _default_variant(jnp.bfloat16, "fast", 1024) == "maxlazy"
+        assert _default_variant(jnp.int8, "fast", None) == "invariant"
+        # maxlazy is tied to the block_q=128 regime: at bq=64 it measured a
+        # regression, so the f32/exact tier (which keeps bq=64) stays
+        # invariant even at large Q.
+        assert _default_variant(jnp.float32, "exact", 1024) == "invariant"
+        assert _default_variant(jnp.bfloat16, "exact", 1024) == "invariant"
         assert _default_blocks(jnp.int8, None, None, n_queries=1024) == (128, 6144)
         assert _default_blocks(jnp.int8, None, None, n_queries=64) == (64, 8192)
         assert _default_blocks(jnp.bfloat16, None, None, "fast", 1024) == (128, 4096)
@@ -257,14 +263,33 @@ class TestLargeQDefaults:
         assert _default_blocks(jnp.float32, None, None, "exact", 1024) == (64, 2048)
 
     def test_default_large_q_path_matches_oracle(self):
+        # f32/exact at qn >= 128: invariant merge, block_q=64 (the defaults
+        # for this tier at any Q) — covers the padded-rows case qn=130.
         rng = np.random.default_rng(9)
-        d, n, k, qn = 32, 700, 5, 130  # qn >= 128 → maxlazy merge, block_q=128
+        d, n, k, qn = 32, 700, 5, 130
         q = _random_unit(rng, qn, d)
         c = _random_unit(rng, n, d).T.copy()
         s, i = cosine_topk_fused(jnp.asarray(q), jnp.asarray(c), k, n_valid=n, block_n=256)
         es, ei = _numpy_oracle(q, c, k)
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
+
+    def test_default_large_q_bf16_fast_matches_dense_fast(self):
+        # bf16 'fast' at qn >= 128 → maxlazy merge + block_q=128 on the
+        # generic kernel (the headline large-Q bf16 production path);
+        # compare against the dense fast path in the same bf16 score space.
+        rng = np.random.default_rng(11)
+        d, n, k, qn = 32, 700, 5, 200
+        # Pre-round queries to bf16: the fused fast tier casts queries to
+        # bf16 in-kernel while the dense path upcasts the corpus to the
+        # query dtype, so bf16-rounded f32 queries put both paths in the
+        # same product space on the CPU interpreter.
+        q = jnp.asarray(_random_unit(rng, qn, d), jnp.bfloat16).astype(jnp.float32)
+        c = jnp.asarray(_random_unit(rng, n, d).T.copy(), jnp.bfloat16)
+        s, i = cosine_topk_fused(q, c, k, n_valid=n, block_n=256, precision="fast")
+        sd, id_ = cosine_topk_dense(q, c, k, n_valid=n, precision="fast")
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sd), rtol=1e-5, atol=1e-6)
+        assert np.array_equal(np.asarray(i), np.asarray(id_))
 
     def test_default_large_q_int8_matches_dense_int8(self):
         from ragfin_tpu.ops.quantize import quantize_corpus_t

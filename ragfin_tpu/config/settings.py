@@ -52,7 +52,11 @@ class Settings:
     embed_backend: str = "hashed"  # "hashed" | "minilm"
     minilm_checkpoint: Optional[str] = None
     topk_method: str = "auto"  # "auto" | "dense" | "blocked" | "fused"
-    index_dtype: str = "float32"  # "float32" | "bfloat16"
+    # "float32" = exact f32 scoring (reference parity: Milvus stores f32);
+    # "bfloat16" = the measured serving tier (~3x f32 QPS at 1M, recall
+    # identical on all eval arms); "int8" = quantized tier (fastest, 4x
+    # smaller HBM; the 10M-chunk north-star config).
+    index_dtype: str = "float32"  # "float32" | "bfloat16" | "int8"
     # "flat" = exact search (improves on the reference's IVF_FLAT recall);
     # "ivf" = the reference's actual index type (cluster-pruned approximate,
     # nlist/nprobe semantics — chunking_storing (1).py:29).

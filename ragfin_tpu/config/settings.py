@@ -112,6 +112,14 @@ class Settings:
             issues.append(f"unknown index_type '{self.index_type}'")
         if self.ivf_nprobe < 1:
             issues.append("ivf_nprobe must be >= 1")
+        if self.integrity_weight > 0 and self.index_type == "ivf":
+            # IVFVectorIndex has no filter/consistency surface, so the
+            # engine falls back to unfiltered search and the configured
+            # tamper defense silently never runs.
+            issues.append(
+                "integrity_weight > 0 has no effect with index_type=ivf "
+                "(no FilteredSearch/consistency path); use index_type=flat"
+            )
         return issues
 
 

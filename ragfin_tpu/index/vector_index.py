@@ -382,7 +382,6 @@ class DeviceVectorIndex:
         figure-tampered near-duplicates that metadata filters cannot reject.
         """
         queries = self._expand_for_search(queries, query_expansion)
-        q = self._encode_queries(queries)
         fetch_k = max(top_k, rerank)
         mask = self._filter_mask(
             period, chunk_type, predicate, periods=periods, company=company
@@ -393,7 +392,10 @@ class DeviceVectorIndex:
             # JL shortlist is structurally unreliable among scoped
             # near-duplicates). Falls through to the device path for
             # oversized buckets. (Predicate filters have no stable cache
-            # key, so they stay on the device path.)
+            # key, so they stay on the device path.) Queries are encoded
+            # only AFTER this gate: the host path must stay zero-dispatch
+            # (an eager device encode here would cost a tunnel round trip
+            # whose result is discarded).
             plan = self._exact_bucket_plan(
                 mask, consistency_weight, periods, period, chunk_type, company
             )
@@ -402,6 +404,7 @@ class DeviceVectorIndex:
                     queries, plan[0], plan[1], top_k,
                     consistency_weight, consistency_strict,
                 )
+        q = self._encode_queries(queries)
         # Integrity-weighted candidate generation: scale positive
         # similarities by the chunk's consistency multiplier ON DEVICE,
         # before selection — a tampered near-duplicate then loses at fetch

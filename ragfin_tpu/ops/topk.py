@@ -470,8 +470,11 @@ def _stream_merge(scores, col0, acc_s, acc_i, k: int, invariant: Optional[bool] 
 # divide block_n; 128-multiples keep dynamic lane slices aligned.
 _TWOLEVEL_SUB = int(os.environ.get("RAGFIN_TWOLEVEL_SUB", "128"))
 # Probe knobs: how the [TQ, NB] sub-block maxima are built ("reshape" = 3D
-# reshape + lane reduce, "concat" = NB single-lane concats), and a
-# results-WRONG mode that skips the merge loop to time the prologue alone.
+# reshape + lane reduce, "concat" = NB single-lane concats), and two
+# results-WRONG timing bisects: NOLOOP skips the merge loop to time the
+# prologue alone; NOSTAGE skips the staging stores, so the merge loop (if
+# not also disabled) reads an UNINITIALIZED buffer — both modes' outputs
+# are garbage and exist only to price kernel stages on hardware.
 _TWOLEVEL_M = os.environ.get("RAGFIN_TWOLEVEL_M", "reshape")
 _TWOLEVEL_NOLOOP = os.environ.get("RAGFIN_TWOLEVEL_NOLOOP", "0") == "1"
 _TWOLEVEL_NOSTAGE = os.environ.get("RAGFIN_TWOLEVEL_NOSTAGE", "0") == "1"
@@ -928,7 +931,9 @@ def _big_q_tiles(corpus_dtype, precision: str, n_queries: Optional[int]) -> bool
     )
 
 
-def _default_variant(corpus_dtype, precision: str, n_queries: Optional[int]) -> str:
+def _default_variant(
+    corpus_dtype, precision: str, n_queries: Optional[int], block_q: int
+) -> str:
     """Measured-winner merge variant (probe_results.log, v5e).
 
     ``maxlazy`` wins at large Q with block_q=128 — lazy in-body id
@@ -936,13 +941,16 @@ def _default_variant(corpus_dtype, precision: str, n_queries: Optional[int]) -> 
     make improvements rare enough that the pricier body never dominates:
     int8 Q=1024/1M 11.94 -> 11.33 ms (90.4K QPS), 10M 73.13 -> 66.85 ms
     (15.3K QPS), bf16 Q=1024/1M 15.08 -> 14.50 ms. It is tied to the
-    block_q=128 regime (`_big_q_tiles`): at block_q=64 maxlazy measured a
-    REGRESSION (int8 Q=1024 13.10 vs 12.68 ms), so small-Q batches and the
-    f32-exact tier keep the invariant merge. ``RAGFIN_MERGE_VARIANT``
-    overrides for A/B probes."""
+    block_q=128 regime: at block_q=64 maxlazy measured a REGRESSION (int8
+    Q=1024 13.10 vs 12.68 ms), so small-Q batches, the f32-exact tier, AND
+    a caller-pinned block_q < 128 all keep the invariant merge (the
+    RESOLVED block size gates the choice, not just the query count).
+    ``RAGFIN_MERGE_VARIANT`` overrides for A/B probes."""
     if _MERGE_VARIANT is not None:
         return _MERGE_VARIANT
-    return "maxlazy" if _big_q_tiles(corpus_dtype, precision, n_queries) else "invariant"
+    if _big_q_tiles(corpus_dtype, precision, n_queries) and block_q >= 128:
+        return "maxlazy"
+    return "invariant"
 
 
 def _default_blocks(corpus_dtype, block_q, block_n, precision="fast", n_queries=None):
@@ -1000,11 +1008,13 @@ def cosine_topk_fused(
         interpret = jax.default_backend() != "tpu"
     if slice_n is None:
         slice_n = _MERGE_SLICE
-    if variant is None:
-        variant = _default_variant(corpus_t.dtype, precision, queries.shape[0])
     block_q, block_n = _default_blocks(
         corpus_t.dtype, block_q, block_n, precision, n_queries=queries.shape[0]
     )
+    if variant is None:
+        variant = _default_variant(
+            corpus_t.dtype, precision, queries.shape[0], block_q
+        )
     return _fused_call(
         queries, corpus_t, k, n_valid, block_q, block_n, precision, interpret,
         slice_n, variant,
@@ -1176,11 +1186,11 @@ def cosine_topk_fused_int8(
         interpret = jax.default_backend() != "tpu"
     if slice_n is None:
         slice_n = _MERGE_SLICE
-    if variant is None:
-        variant = _default_variant(jnp.int8, "fast", queries.shape[0])
     block_q, block_n = _default_blocks(
         jnp.int8, block_q, block_n, n_queries=queries.shape[0]
     )
+    if variant is None:
+        variant = _default_variant(jnp.int8, "fast", queries.shape[0], block_q)
     return _fused_call_int8(
         queries, corpus_i8, scales, k, n_valid, block_q, block_n, interpret,
         slice_n, variant,

@@ -121,12 +121,17 @@ def make_minilm_sp_forward(mesh: Mesh, config: MiniLMConfig, sp_axis: str = "sp"
             pooled = wsum / jnp.maximum(wcnt, 1e-9)
         return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
 
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P(None, sp_axis), P(None, sp_axis)),
-        out_specs=P(),
-        check_vma=False,
+    # Jit ONCE at build time: shard_map programs re-trace on every eager
+    # call (~2.7 s/call through the tunnel — CLAUDE.md), and a fresh
+    # jax.jit(fn) per forward() would have an empty trace cache each time.
+    jitted = jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(None, sp_axis), P(None, sp_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
     )
 
     def forward(params, input_ids, attention_mask):
@@ -134,6 +139,6 @@ def make_minilm_sp_forward(mesh: Mesh, config: MiniLMConfig, sp_axis: str = "sp"
             raise ValueError(
                 f"sequence length {input_ids.shape[1]} not divisible by sp={n_sp}"
             )
-        return jax.jit(fn)(params, input_ids, attention_mask)
+        return jitted(params, input_ids, attention_mask)
 
     return forward

@@ -202,6 +202,14 @@ class RagFinEngine:
             "provider": getattr(self.provider, "model_name", None) or "offline",
             "extraction_model": self.graph_builder.current_model,
             "integrity_weight": self.settings.integrity_weight,
+            # The configured weight only takes effect through the
+            # FilteredSearch pipeline (flat indexes with a featurizer) —
+            # report whether it is actually live so an operator can see a
+            # silently-inactive tamper defense (e.g. index_type=ivf).
+            "integrity_active": bool(
+                self.settings.integrity_weight > 0
+                and getattr(self.vector_rag, "_searcher", None) is not None
+            ),
             "config_issues": issues,
         }
 

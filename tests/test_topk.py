@@ -62,11 +62,12 @@ class TestAgainstOracle:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.asarray(i), ei)
 
-    @pytest.mark.parametrize("variant", ["carry", "mask", "twolevel"])
+    @pytest.mark.parametrize("variant", ["carry", "mask", "twolevel", "mlazy"])
     def test_fused_merge_variants(self, data, k, variant):
-        """All merge variants (carry / mask-extraction / two-level) must agree
-        with the oracle exactly; "mask" additionally exercises the tile-0 seed
-        path, "twolevel" the sub-block maxima + staging-buffer extraction."""
+        """All merge variants (carry / mask-extraction / two-level / mlazy)
+        must agree with the oracle exactly; "mask" additionally exercises the
+        tile-0 seed path, "twolevel" the sub-block maxima + staging-buffer
+        extraction, "mlazy" the guarded lazy in-body extraction."""
         q, c = data
         s, i = cosine_topk_fused(
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant=variant
@@ -173,6 +174,12 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="twolevel"
         )
         assert np.array_equal(np.asarray(it), ei)
+        # mlazy: sub-block maxima prologue + lazy in-body extraction with
+        # the boundary-tile validity guard — every sub-block improves here.
+        sz, iz = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="mlazy"
+        )
+        assert np.array_equal(np.asarray(iz), ei)
 
     def test_tie_heavy_scores(self):
         """Quantized values produce massive exact-score ties; stable
@@ -215,6 +222,12 @@ class TestPadding:
             jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="twolevel"
         )
         assert np.array_equal(np.asarray(i2), ei)
+        # mlazy under massive exact ties: the guarded tie-run walk must
+        # extract each tied id once in ascending order.
+        s3, i3 = cosine_topk_fused(
+            jnp.asarray(q), jnp.asarray(c), k, block_q=8, block_n=256, variant="mlazy"
+        )
+        assert np.array_equal(np.asarray(i3), ei)
 
     def test_k_greater_than_tiny_corpus(self):
         rng = np.random.default_rng(0)
@@ -246,15 +259,16 @@ class TestLargeQDefaults:
     def test_default_selection(self):
         from ragfin_tpu.ops.topk import _default_blocks, _default_variant
 
-        assert _default_variant(jnp.int8, "fast", 64) == "invariant"
-        assert _default_variant(jnp.int8, "fast", 128) == "maxlazy"
-        assert _default_variant(jnp.bfloat16, "fast", 1024) == "maxlazy"
-        assert _default_variant(jnp.int8, "fast", None) == "invariant"
+        assert _default_variant(jnp.int8, "fast", 64, 64) == "invariant"
+        assert _default_variant(jnp.int8, "fast", 128, 128) == "maxlazy"
+        assert _default_variant(jnp.bfloat16, "fast", 1024, 128) == "maxlazy"
+        assert _default_variant(jnp.int8, "fast", None, 64) == "invariant"
         # maxlazy is tied to the block_q=128 regime: at bq=64 it measured a
-        # regression, so the f32/exact tier (which keeps bq=64) stays
-        # invariant even at large Q.
-        assert _default_variant(jnp.float32, "exact", 1024) == "invariant"
-        assert _default_variant(jnp.bfloat16, "exact", 1024) == "invariant"
+        # regression, so the f32/exact tier (which keeps bq=64), and a
+        # caller-pinned block_q=64 at large Q, stay invariant.
+        assert _default_variant(jnp.float32, "exact", 1024, 64) == "invariant"
+        assert _default_variant(jnp.bfloat16, "exact", 1024, 64) == "invariant"
+        assert _default_variant(jnp.int8, "fast", 1024, 64) == "invariant"
         assert _default_blocks(jnp.int8, None, None, n_queries=1024) == (128, 6144)
         assert _default_blocks(jnp.int8, None, None, n_queries=64) == (64, 8192)
         assert _default_blocks(jnp.bfloat16, None, None, "fast", 1024) == (128, 4096)

@@ -163,14 +163,28 @@ class DeviceVectorIndex:
         return cosine_topk(q, self.matrix_t, k, n_valid=self.n, method=method)
 
     def _meta_arrays(self):
-        """Vectorized metadata columns (built lazily, cached): categorical
-        period/chunk_type codes so million-row filter masks are numpy ops,
-        not Python loops."""
+        """Vectorized metadata columns (built lazily, cached): each column
+        is (int32 codes, {value: code} vocab) so million-row filter masks
+        are integer compares (~2 ms at 1M), not string-array scans
+        (np.isin over a 1M str array costs tens of ms PER CONDITION PER
+        QUERY — measured as a dominant serving term at 1M chunks)."""
         cached = getattr(self, "_meta", None)
         if cached is None or cached[0] != len(self.records):
-            periods = np.array([r.period for r in self.records])
-            ctypes = np.array([r.chunk_type for r in self.records])
-            companies = np.array([getattr(r, "company", "ICICI Bank") for r in self.records])
+            def encode(values):
+                vocab: dict = {}
+                codes = np.empty(len(values), np.int32)
+                for i, v in enumerate(values):
+                    c = vocab.get(v)
+                    if c is None:
+                        c = vocab[v] = len(vocab)
+                    codes[i] = c
+                return codes, vocab
+
+            periods = encode([r.period for r in self.records])
+            ctypes = encode([r.chunk_type for r in self.records])
+            companies = encode(
+                [getattr(r, "company", "ICICI Bank") for r in self.records]
+            )
             cached = (len(self.records), periods, ctypes, companies)
             self._meta = cached
         return cached[1], cached[2], cached[3]
@@ -193,22 +207,47 @@ class DeviceVectorIndex:
             and not periods and company is None
         ):
             return None
-        n_pad = int(self.matrix_t.shape[1])
-        period_arr, ctype_arr, company_arr = self._meta_arrays()
-        mask = np.ones((len(self.records),), bool)
         want = list(periods) if periods else ([period] if period else None)
+        cache_key = None
+        if predicate is None:
+            # Stable filters repeat across queries/tiers — cache the host
+            # mask (the device upload is cached separately, but recomputing
+            # the numpy mask per query still costs ms at 1M rows).
+            cache_key = (
+                tuple(sorted(want)) if want else None, chunk_type, company,
+                len(self.records),
+            )
+            cache = getattr(self, "_host_mask_cache", None)
+            if cache is None:
+                cache = self._host_mask_cache = {}
+            hit = cache.get(cache_key)
+            if hit is not None:
+                return hit
+        n_pad = int(self.matrix_t.shape[1])
+        (pcodes, pvocab), (ccodes, cvocab), (ocodes, ovocab) = self._meta_arrays()
+        mask = np.ones((len(self.records),), bool)
         if want is not None:
-            mask &= np.isin(period_arr, want)
+            codes = [pvocab[p] for p in want if p in pvocab]
+            if len(codes) == 1:
+                mask &= pcodes == codes[0]
+            else:
+                mask &= np.isin(pcodes, np.asarray(codes, np.int32))
         if chunk_type is not None:
-            mask &= ctype_arr == chunk_type
+            code = cvocab.get(chunk_type)
+            mask &= (ccodes == code) if code is not None else False
         if company is not None:
-            mask &= company_arr == company
+            code = ovocab.get(company)
+            mask &= (ocodes == code) if code is not None else False
         if predicate is not None:
             for i in np.nonzero(mask)[0]:
                 if not predicate(self.records[int(i)]):
                     mask[i] = False
         out = np.zeros((n_pad,), bool)
         out[: len(self.records)] = mask
+        if cache_key is not None:
+            if len(self._host_mask_cache) > 64:
+                self._host_mask_cache.clear()
+            self._host_mask_cache[cache_key] = out
         return out
 
     def integrity_column(self) -> np.ndarray:
@@ -417,6 +456,19 @@ class DeviceVectorIndex:
             else None
         )
         if mask is not None or score_mult is not None:
+            row_mask = None
+            if mask is not None:
+                if predicate is None:
+                    # Stable filter key → cache the mask on device (see
+                    # _device_row_mask; avoids a per-query host→device
+                    # upload that dominates serving at 1M+ chunks).
+                    mkey = (
+                        tuple(sorted(periods)) if periods else period,
+                        chunk_type, company,
+                    )
+                    row_mask = self._device_row_mask(mkey, mask)
+                else:
+                    row_mask = jnp.asarray(mask)
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_int8
 
@@ -426,7 +478,7 @@ class DeviceVectorIndex:
                     self.scales,
                     min(fetch_k, max(self.n, 1)),
                     n_valid=self.n,
-                    row_mask=None if mask is None else jnp.asarray(mask),
+                    row_mask=row_mask,
                     score_mult=score_mult,
                 )
             else:
@@ -437,7 +489,7 @@ class DeviceVectorIndex:
                     self.matrix_t,
                     min(fetch_k, max(self.n, 1)),
                     n_valid=self.n,
-                    row_mask=None if mask is None else jnp.asarray(mask),
+                    row_mask=row_mask,
                     score_mult=score_mult,
                 )
         else:
@@ -558,6 +610,45 @@ class DeviceVectorIndex:
         cache[key] = mult
         return mult
 
+    def _device_tier_masks(self, group_key, device_tiers) -> jax.Array:
+        """Device-resident [G, N] tier-mask stack, cached per tier-group key.
+
+        At 1M chunks a group's boolean mask stack is 2-4 MB; re-uploading it
+        host→device on EVERY query dominated serving latency through the
+        dispatch-bound tunnel (serving_e2e @1M p50 297 ms vs ~7 ms of actual
+        device work — `serving_topk_1m` probe). Filter vocabularies are tiny
+        (periods × chunk types × companies), so the distinct mask stacks a
+        deployment ever uses number in the dozens: upload each once."""
+        cache = getattr(self, "_device_mask_cache", None)
+        if cache is None:
+            cache = self._device_mask_cache = {}
+        key = ("group", group_key, self.matrix_t.shape[1])
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        masks = jnp.asarray(np.stack([m for _, m in device_tiers]))
+        if len(cache) > 32:  # bound HBM held by cached masks (~4 MB each @1M)
+            cache.clear()
+        cache[key] = masks
+        return masks
+
+    def _device_row_mask(self, key, mask: np.ndarray) -> jax.Array:
+        """Single [N] device row mask, cached per filter key (see
+        :meth:`_device_tier_masks` — same transfer-avoidance rationale for
+        the one-filter ``search_texts`` path)."""
+        cache = getattr(self, "_device_mask_cache", None)
+        if cache is None:
+            cache = self._device_mask_cache = {}
+        full_key = ("single", key, self.matrix_t.shape[1])
+        hit = cache.get(full_key)
+        if hit is not None:
+            return hit
+        dev = jnp.asarray(mask)
+        if len(cache) > 32:
+            cache.clear()
+        cache[full_key] = dev
+        return dev
+
     def search_texts_tiers(
         self,
         queries: Sequence[str],
@@ -596,6 +687,7 @@ class DeviceVectorIndex:
         width = self.matrix_t.shape[1]
         results: dict[int, list] = {}
         device_tiers: list[tuple[int, np.ndarray]] = []
+        tier_keys: list = []
         for ti, flt in enumerate(tier_filters):
             mask = self._filter_mask(
                 flt.get("period"), flt.get("chunk_type"), None,
@@ -614,6 +706,11 @@ class DeviceVectorIndex:
             if mask is None:
                 mask = np.ones(width, bool)
             device_tiers.append((ti, mask))
+            periods_f = flt.get("periods")
+            tier_keys.append((
+                tuple(sorted(periods_f)) if periods_f else flt.get("period"),
+                flt.get("chunk_type"), flt.get("company"),
+            ))
 
         if device_tiers:
             q = self._encode_queries(queries)
@@ -623,7 +720,7 @@ class DeviceVectorIndex:
                 else None
             )
             fetch_k = min(max(top_k, rerank), max(self.n, 1))
-            masks = jnp.asarray(np.stack([m for _, m in device_tiers]))
+            masks = self._device_tier_masks(tuple(tier_keys), device_tiers)
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_multi_int8
 

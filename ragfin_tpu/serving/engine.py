@@ -152,6 +152,19 @@ class RagFinEngine:
                 self.vector_index.search_texts(["warmup query"], top_k=top_k)
             except Exception:
                 break
+        # The PRODUCTION path is FilteredSearch: tier-group searches compile
+        # DIFFERENT device programs ([G, Q, N] masked multi-tier top-k) than
+        # the plain search above — measured ~80-90 s of first-query compiles
+        # at 1M chunks through the remote tunnel. Warm them with one scoped
+        # and one unscoped question so serving p50 never pays compile.
+        searcher = getattr(self.vector_rag, "_searcher", None)
+        if searcher is not None:
+            try:
+                period = self.chunks[0].period.replace("_", " ")
+                for q in (f"warmup net profit in {period}", "warmup query"):
+                    searcher.search_texts([q], top_k=self.settings.default_top_k)
+            except Exception:
+                pass
         if self.settings.integrity_weight > 0 and hasattr(
             self.vector_index, "integrity_column"
         ):

@@ -575,7 +575,9 @@ class GraphIndex:
             ci = self._company_id_of.get(c)
             if ci is not None:
                 cm[ci] = True
-        return rv & jnp.asarray(cm)[packed["company_ids"]]
+        # Gather-free lookup (same ~33 ms/10M-index gather cost as the
+        # predicate masks — see _mask_lookup).
+        return rv & _mask_lookup(jnp.asarray(cm), packed["company_ids"])
 
     def _masks(self, quarters: Optional[Sequence[str]], names: Optional[Sequence[str]], types: Optional[Sequence[int]]):
         nq, ne = len(self.quarters), len(self.entities)

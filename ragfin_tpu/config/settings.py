@@ -112,13 +112,19 @@ class Settings:
             issues.append(f"unknown index_type '{self.index_type}'")
         if self.ivf_nprobe < 1:
             issues.append("ivf_nprobe must be >= 1")
-        if self.integrity_weight > 0 and self.index_type == "ivf":
-            # IVFVectorIndex has no filter/consistency surface, so the
-            # engine falls back to unfiltered search and the configured
-            # tamper defense silently never runs.
+        if self.integrity_weight > 0 and (
+            self.index_type == "ivf" or self.embed_backend != "hashed"
+        ):
+            # Integrity weighting runs through the FilteredSearch pipeline,
+            # which requires a flat index with the hashed featurizer; with
+            # index_type=ivf or a featurizer-less semantic backend the
+            # configured tamper defense will not apply (unless a flat
+            # hashed index is loaded from index_dir — the engine's
+            # /health `integrity_active` field reports the runtime truth).
             issues.append(
-                "integrity_weight > 0 has no effect with index_type=ivf "
-                "(no FilteredSearch/consistency path); use index_type=flat"
+                "integrity_weight > 0 requires the FilteredSearch pipeline "
+                "(index_type=flat + embed_backend=hashed); as configured it "
+                "may never apply — check /health integrity_active"
             )
         return issues
 

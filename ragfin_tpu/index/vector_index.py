@@ -610,44 +610,40 @@ class DeviceVectorIndex:
         cache[key] = mult
         return mult
 
-    def _device_tier_masks(self, group_key, device_tiers) -> jax.Array:
-        """Device-resident [G, N] tier-mask stack, cached per tier-group key.
+    def _device_cached_mask(self, key, build) -> jax.Array:
+        """Get-or-upload a device mask under ``key`` (bounded cache).
 
-        At 1M chunks a group's boolean mask stack is 2-4 MB; re-uploading it
-        host→device on EVERY query dominated serving latency through the
-        dispatch-bound tunnel (serving_e2e @1M p50 297 ms vs ~7 ms of actual
-        device work — `serving_topk_1m` probe). Filter vocabularies are tiny
-        (periods × chunk types × companies), so the distinct mask stacks a
-        deployment ever uses number in the dozens: upload each once."""
+        At 1M chunks a tier group's boolean mask stack is 2-4 MB;
+        re-uploading it host→device on EVERY query dominated serving
+        latency through the dispatch-bound tunnel (serving_e2e @1M p50
+        297 ms vs ~7 ms of actual device work — `serving_topk_1m` probe).
+        Filter vocabularies are tiny (periods × chunk types × companies),
+        so the distinct masks a deployment ever uses number in the dozens:
+        upload each once."""
         cache = getattr(self, "_device_mask_cache", None)
         if cache is None:
             cache = self._device_mask_cache = {}
-        key = ("group", group_key, self.matrix_t.shape[1])
-        hit = cache.get(key)
-        if hit is not None:
-            return hit
-        masks = jnp.asarray(np.stack([m for _, m in device_tiers]))
-        if len(cache) > 32:  # bound HBM held by cached masks (~4 MB each @1M)
-            cache.clear()
-        cache[key] = masks
-        return masks
-
-    def _device_row_mask(self, key, mask: np.ndarray) -> jax.Array:
-        """Single [N] device row mask, cached per filter key (see
-        :meth:`_device_tier_masks` — same transfer-avoidance rationale for
-        the one-filter ``search_texts`` path)."""
-        cache = getattr(self, "_device_mask_cache", None)
-        if cache is None:
-            cache = self._device_mask_cache = {}
-        full_key = ("single", key, self.matrix_t.shape[1])
+        full_key = (*key, self.matrix_t.shape[1])
         hit = cache.get(full_key)
         if hit is not None:
             return hit
-        dev = jnp.asarray(mask)
-        if len(cache) > 32:
+        dev = build()
+        if len(cache) > 32:  # bound HBM held by cached masks (~4 MB each @1M)
             cache.clear()
         cache[full_key] = dev
         return dev
+
+    def _device_tier_masks(self, group_key, device_tiers) -> jax.Array:
+        """Device-resident [G, N] tier-mask stack, cached per tier-group key."""
+        return self._device_cached_mask(
+            ("group", group_key),
+            lambda: jnp.asarray(np.stack([m for _, m in device_tiers])),
+        )
+
+    def _device_row_mask(self, key, mask: np.ndarray) -> jax.Array:
+        """Single [N] device row mask, cached per filter key (the one-filter
+        ``search_texts`` path)."""
+        return self._device_cached_mask(("single", key), lambda: jnp.asarray(mask))
 
     def search_texts_tiers(
         self,

@@ -43,11 +43,14 @@ _AMOUNT_WITH_PCT = re.compile(
     r"₹\s*([\d,]+(?:\.\d+)?)\s*crore\s*\((\d[\d.]*)%[^)]*\)"
 )
 _PCT = re.compile(r"(-?\d[\d.]*)%")
-# [^:₹\n] keeps the match on ONE line: without \n a bare "total" mention
-# binds an unrelated amount from a following line as a declared total,
-# handing tampered chunks phantom bases/sum targets (checks only ever ADD
-# passes, so spurious totals weaken the gate).
-_TOTAL_LINE = re.compile(r"total[^:₹\n]*:?\s*₹\s*([\d,]+(?:\.\d+)?)\s*crore", re.IGNORECASE)
+# [^:₹\n] and [ \t] keep the match on ONE line (\s would consume
+# newlines): without this a bare "total" mention binds an unrelated amount
+# from a following line as a declared total, handing tampered chunks
+# phantom bases/sum targets (checks only ever ADD passes, so spurious
+# totals weaken the gate).
+_TOTAL_LINE = re.compile(
+    r"total[^:₹\n]*:?[ \t]*₹[ \t]*([\d,]+(?:\.\d+)?)[ \t]*crore", re.IGNORECASE
+)
 
 
 def _num(s: str) -> float:

@@ -159,12 +159,15 @@ class RagFinEngine:
         # and one unscoped question so serving p50 never pays compile.
         searcher = getattr(self.vector_rag, "_searcher", None)
         if searcher is not None:
-            try:
-                period = self.chunks[0].period.replace("_", " ")
-                for q in (f"warmup net profit in {period}", "warmup query"):
+            period = self.chunks[0].period.replace("_", " ")
+            for q in (f"warmup net profit in {period}", "warmup query"):
+                try:
                     searcher.search_texts([q], top_k=self.settings.default_top_k)
-            except Exception:
-                pass
+                except Exception as e:  # noqa: BLE001 — warmup must not kill startup
+                    # A swallowed failure here means the first PRODUCTION
+                    # query pays the ~80-90 s tier-group compile this warmup
+                    # exists to prevent — make it visible.
+                    logger.warning("FilteredSearch warmup failed for %r: %s", q, e)
         if self.settings.integrity_weight > 0 and hasattr(
             self.vector_index, "integrity_column"
         ):
@@ -208,6 +211,18 @@ class RagFinEngine:
     # --- health (deep checks, reference health_tools.py:19-106) ----------
     def health(self) -> dict:
         issues = self.settings.validate()
+        integrity_active = bool(
+            self.settings.integrity_weight > 0
+            and getattr(self.vector_rag, "_searcher", None) is not None
+        )
+        if self.settings.integrity_weight > 0 and not integrity_active:
+            # Runtime truth beats the static validate() heuristic: the
+            # served index determines whether FilteredSearch (and thus the
+            # tamper defense) is actually live.
+            issues = issues + [
+                "integrity_weight configured but INACTIVE at runtime "
+                "(served index has no FilteredSearch pipeline)"
+            ]
         return {
             "status": "healthy" if self.vector_index.n > 0 else "degraded",
             "vector_index": {"entities": self.vector_index.n, "dim": self.vector_index.dim},
@@ -219,10 +234,7 @@ class RagFinEngine:
             # FilteredSearch pipeline (flat indexes with a featurizer) —
             # report whether it is actually live so an operator can see a
             # silently-inactive tamper defense (e.g. index_type=ivf).
-            "integrity_active": bool(
-                self.settings.integrity_weight > 0
-                and getattr(self.vector_rag, "_searcher", None) is not None
-            ),
+            "integrity_active": integrity_active,
             "config_issues": issues,
         }
 

@@ -586,12 +586,15 @@ def graph_match_10m() -> None:
 
 
 def graph_match_attrib() -> None:
-    """Attribute the ~110 ms warm 10M-fact match: device compute vs dispatch.
+    """Attribute the warm 10M-fact match: device compute vs dispatch, and
+    predicate vs first-k within the device part.
 
-    Runs the scale-match device program (_hit_vector predicate + streaming
-    Pallas first-k) for 8 different mask triples inside ONE jitted lax.scan
-    — amortized per-match device time, no per-call tunnel round trips. The
-    eager graph_match_10m 'match=' line minus this is pure dispatch."""
+    Runs the scale-match device stages for 8 different mask triples inside
+    ONE jitted lax.scan each — amortized per-match device time, no per-call
+    tunnel round trips. The eager graph_match_10m 'match=' line minus
+    'both' is pure dispatch. (This probe split the pre-fix 98 ms into
+    97.9 ms gather-bound predicate + 3.9 ms Pallas first-k, motivating the
+    gather-free _mask_lookup.)"""
     from ragfin_tpu.index.graph_index import _predicate, masked_first_k
 
     n, reps, k = 10_000_000, 8, 30
@@ -609,23 +612,50 @@ def graph_match_attrib() -> None:
         ems[i, i] = True
         tms[i, 0] = True
     qms, ems, tms = jnp.asarray(qms), jnp.asarray(ems), jnp.asarray(tms)
+    hits = jnp.stack(
+        [_predicate(qids, eids, tids, valid, qms[i], ems[i], tms[i]) for i in range(reps)]
+    )
+    np.asarray(hits[0, 0])
 
-    @jax.jit
-    def run(qids, eids, tids, valid, qms, ems, tms):
-        def step(carry, x):
+    def timed(fn, *args):
+        run = jax.jit(fn)
+        np.asarray(run(*args))
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    def pred_only(qids, eids, tids, valid, qms, ems, tms):
+        def step(c, x):
             qm, em, tm = x
-            hit = _predicate(qids, eids, tids, valid, qm, em, tm)
-            ids, cnt = masked_first_k(hit, k)
-            return carry + ids.sum() + cnt.sum(), None
+            h = _predicate(qids, eids, tids, valid, qm, em, tm)
+            return c + jnp.sum(h.astype(jnp.int32)), None
         acc, _ = jax.lax.scan(step, jnp.int32(0), (qms, ems, tms))
         return acc
 
-    _stage("graph_match_attrib: compiling + warmup")
-    np.asarray(run(qids, eids, tids, valid, qms, ems, tms))
-    t0 = time.perf_counter()
-    np.asarray(run(qids, eids, tids, valid, qms, ems, tms))
-    dt = (time.perf_counter() - t0) / reps
-    line = f"graph_match_attrib N=10M: device={dt*1e3:.2f} ms/match (scan-amortized)"
+    def fk_only(hits):
+        def step(c, h):
+            ids, cnt = masked_first_k(h, k)
+            return c + ids.sum() + cnt.sum(), None
+        acc, _ = jax.lax.scan(step, jnp.int32(0), hits)
+        return acc
+
+    def both(qids, eids, tids, valid, qms, ems, tms):
+        def step(c, x):
+            qm, em, tm = x
+            h = _predicate(qids, eids, tids, valid, qm, em, tm)
+            ids, cnt = masked_first_k(h, k)
+            return c + ids.sum() + cnt.sum(), None
+        acc, _ = jax.lax.scan(step, jnp.int32(0), (qms, ems, tms))
+        return acc
+
+    _stage("graph_match_attrib: compiling + timing")
+    t_pred = timed(pred_only, qids, eids, tids, valid, qms, ems, tms)
+    t_fk = timed(fk_only, hits)
+    t_both = timed(both, qids, eids, tids, valid, qms, ems, tms)
+    line = (
+        f"graph_match_attrib N=10M: pred={t_pred:.2f} fk={t_fk:.2f} "
+        f"both={t_both:.2f} ms/match (scan-amortized)"
+    )
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line)

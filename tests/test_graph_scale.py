@@ -165,3 +165,37 @@ class TestPersistence:
         out = g.match(names=["Net Profit"])
         assert out[0]["value"] == 10636.0 and out[0]["growth"] == 44.0
         assert out[0]["source_chunk"] == "chunk1"
+
+
+class TestBitpackedMaskOps:
+    """_mask_lookup / _scatter_any must match their gather/scatter oracles
+    for every vocab size class, including the >1024 fallback boundary —
+    they carry the 27-48x 10M-fact match/expand speedups and any semantic
+    drift would silently corrupt graph results."""
+
+    @pytest.mark.parametrize("vocab", [1, 28, 32, 33, 512, 1024, 1025])
+    def test_mask_lookup_matches_gather(self, vocab):
+        import jax.numpy as jnp
+
+        from ragfin_tpu.index.graph_index import _mask_lookup
+
+        rng = np.random.default_rng(vocab)
+        mask = jnp.asarray(rng.random(vocab) < 0.4)
+        ids = jnp.asarray(rng.integers(0, vocab, 10_000).astype(np.int32))
+        got = np.asarray(_mask_lookup(mask, ids))
+        want = np.asarray(mask)[np.asarray(ids)]
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("vocab", [1, 28, 32, 33, 512, 1024, 1025])
+    def test_scatter_any_matches_scatter(self, vocab):
+        import jax.numpy as jnp
+
+        from ragfin_tpu.index.graph_index import _scatter_any
+
+        rng = np.random.default_rng(vocab + 7)
+        ids = jnp.asarray(rng.integers(0, vocab, 10_000).astype(np.int32))
+        hit = jnp.asarray(rng.random(10_000) < 0.01)
+        got = np.asarray(_scatter_any(ids, hit, vocab))
+        want = np.zeros(vocab, bool)
+        np.maximum.at(want, np.asarray(ids), np.asarray(hit))
+        assert np.array_equal(got, want)

@@ -237,3 +237,40 @@ class TestStaleEncoderTable:
         np.testing.assert_array_equal(
             np.asarray(back.encoder.table), np.asarray(BagEncoder().table)
         )
+
+
+class TestDeviceMaskCache:
+    """Filter masks upload to device once per filter key (the 1M-serving
+    latency fix): repeated searches with the same filters must reuse both
+    the host mask and the device buffer."""
+
+    def test_host_and_device_mask_reuse(self, corpus_chunks):
+        idx = DeviceVectorIndex.build(corpus_chunks)
+        kwargs = dict(periods=["Q1_FY2024"], chunk_type="financial_ratios")
+        first = idx.search_texts(["basic EPS"], top_k=3, **kwargs)
+        host1 = dict(getattr(idx, "_host_mask_cache", {}))
+        dev1 = dict(getattr(idx, "_device_mask_cache", {}))
+        assert host1, "host mask cache should be populated"
+        again = idx.search_texts(["basic EPS"], top_k=3, **kwargs)
+        host2 = getattr(idx, "_host_mask_cache", {})
+        dev2 = getattr(idx, "_device_mask_cache", {})
+        # Same cached objects (no recompute / re-upload), same results.
+        for k, v in host1.items():
+            assert host2[k] is v
+        for k, v in dev1.items():
+            assert dev2[k] is v
+        assert [h.record.id for h in first[0]] == [h.record.id for h in again[0]]
+
+    def test_tier_group_masks_cached_across_calls(self, corpus_chunks):
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        idx = DeviceVectorIndex.build(corpus_chunks)
+        fs = FilteredSearch(idx)
+        q = "What was the net profit in Q1 FY2024?"
+        r1 = [h.record.id for h in fs.search_texts([q], top_k=3)[0]]
+        cache1 = dict(getattr(idx, "_device_mask_cache", {}))
+        r2 = [h.record.id for h in fs.search_texts([q], top_k=3)[0]]
+        cache2 = getattr(idx, "_device_mask_cache", {})
+        assert r1 == r2
+        for k, v in cache1.items():
+            assert cache2[k] is v

@@ -178,6 +178,11 @@ _ALL_QUARTER_WORDS = (
     "trend", "evolve", "quarterly", "over fy", "during fy", "volatile",
 )
 _MIN_WORDS = ("lowest", "smallest", "least", "worst", "minimum", "weakest")
+# An explicitly named quarter pins the question to that quarter even when
+# expansion words ("across", "quarterly") also appear.
+_EXPLICIT_QUARTER = re.compile(
+    r"\bq[1-4]\b|\b(?:first|second|third|fourth|1st|2nd|3rd|4th|last|final)\s+quarter\b"
+)
 _EXTREMUM_WORDS = (
     "which quarter", "highest", "peak", "best", "lowest", "smallest",
     "least", "worst", "maximum", "minimum", "strongest", "weakest",
@@ -221,7 +226,31 @@ class AnalyticalAnswerer:
     def __init__(self, records: Sequence[IndexedChunk], company: Optional[str] = "ICICI Bank"):
         self.records = list(records)
         self.company = company
+        # Companies present in the corpus OTHER than the scoped one: a
+        # question naming any of them must NOT be answered from this
+        # company's figures (answer() bails to the company-scoped
+        # retrieval path instead).
+        self._other_companies = sorted(
+            {
+                getattr(r, "company", company) or ""
+                for r in self.records
+            }
+            - {company, "", None}
+        )
         self._data: Optional[dict[str, QuarterData]] = None
+
+    def _names_other_company(self, ql: str) -> bool:
+        if not self.company or not self._other_companies:
+            return False
+        from .queryfilter import FilteredSearch
+
+        qtokens = set(re.findall(r"[a-z0-9&]+", ql))
+        generic = FilteredSearch._GENERIC_NAME_TOKENS
+        for c in self._other_companies:
+            toks = set(c.lower().split()) - generic
+            if toks and toks & qtokens:
+                return True
+        return False
 
     # --- corpus parsing ----------------------------------------------------
     @property
@@ -256,7 +285,7 @@ class AnalyticalAnswerer:
         from .queryfilter import extract_filters
 
         ql = q.lower()
-        years = {p.split("_FY")[1] for p in self.data}
+        years = {p.split("_FY")[1] for p in self.data if "_FY" in p}
         for y in re.findall(r"fy\s?(\d{4})", ql):
             if y not in years:
                 # The question names a fiscal year the corpus doesn't cover;
@@ -277,15 +306,26 @@ class AnalyticalAnswerer:
             if not periods or any(w in ql for w in _ALL_QUARTER_WORDS):
                 if len(periods) < 2:
                     periods = [p for p in self.data if p.endswith(f"FY{year}")]
-        elif any(w in ql for w in _ALL_QUARTER_WORDS) and len(periods) < 2:
-            yearset = {p.split("_FY")[1] for p in periods}
-            periods = [p for p in self.data if p.split("_FY")[1] in yearset]
+        elif (
+            any(w in ql for w in _ALL_QUARTER_WORDS)
+            and len(periods) < 2
+            and not _EXPLICIT_QUARTER.search(ql)
+        ):
+            # Expansion words ("across", "quarterly") widen an implicit
+            # scope, but an EXPLICITLY named quarter ("Q3 FY2024 across all
+            # businesses") must stay a single-quarter question.
+            yearset = {p.split("_FY")[1] for p in periods if "_FY" in p}
+            periods = [
+                p for p in self.data if "_FY" in p and p.split("_FY")[1] in yearset
+            ]
         return self._chronological(dict.fromkeys(periods))
 
     def _metric_in_question(self, q: str):
         ql = q.lower()
         for phrase, fieldname, kind, label, ct in _METRIC_TABLE:
-            if phrase in ql:
+            # Word-bounded: a bare substring test let "eps" hijack "steps"
+            # with a confident (wrong-topic) EPS answer.
+            if re.search(rf"\b{re.escape(phrase)}\b", ql):
                 return fieldname, kind, label, ct
         return None
 
@@ -433,10 +473,12 @@ class AnalyticalAnswerer:
             return None
         better = s1 if a >= b else s2
         diff = abs(a - b)
-        unit = " percentage point" if kind == "pct" else ""
+        # pct diffs are percentage POINTS (not _fmt's "%"); currency diffs
+        # get full currency formatting, not a bare unitless float.
+        span = f"{diff:.1f} percentage points" if kind == "pct" else _fmt(diff, kind)
         return (
             f"In {_pretty_period(p)}, {s1} {label} was {_fmt(a, kind)} vs {s2} {label} "
-            f"{_fmt(b, kind)} — {better} outperformed by {diff:.1f}{unit}."
+            f"{_fmt(b, kind)} — {better} outperformed by {span}."
         )
 
     def _ranking(self, period) -> Optional[str]:
@@ -461,10 +503,12 @@ class AnalyticalAnswerer:
         if not ranges:
             return None
         name, lo, hi = max(ranges, key=lambda t: t[2] - t[1])
-        unit = " percentage point" if kind == "pct" else ""
+        span = (
+            f"{hi - lo:.1f} percentage points" if kind == "pct" else _fmt(hi - lo, kind)
+        )
         return (
             f"The {name} segment showed the most volatile {label}, ranging from "
-            f"{_fmt(lo, kind)} to {_fmt(hi, kind)} (a range of {_fmt(hi - lo, kind)}{unit})."
+            f"{_fmt(lo, kind)} to {_fmt(hi, kind)} (a range of {span})."
         )
 
     def _metric_volatility(self, periods, fieldname, kind, label) -> Optional[str]:
@@ -506,6 +550,11 @@ class AnalyticalAnswerer:
         """Answer a question; returns (answer, chunk ids consumed) or None
         when the question does not match the analytical vocabulary."""
         ql = question.lower()
+        if self._names_other_company(ql):
+            # The question names a different company than this answerer is
+            # scoped to — a confident answer here would present the scoped
+            # company's figures as the other company's.
+            return None
         try:
             periods = self._quarters_in_question(question)
         except _UncoveredPeriod as e:
@@ -518,15 +567,18 @@ class AnalyticalAnswerer:
             return None
         segments = self._segments_in_question(question)
         metric = self._metric_in_question(question)
-        minimum = any(w in ql for w in _MIN_WORDS)
+        # "least" only counts as a minimum-extremum cue outside "at least".
+        minimum = any(w in ql for w in _MIN_WORDS if w != "least") or bool(
+            re.search(r"\bleast\b", ql.replace("at least", ""))
+        )
         extremum = any(w in ql for w in _EXTREMUM_WORDS)
         want_avg = "average" in ql
         # Scan scope for extremum/volatility: every quarter of the
         # question's year(s) — NOT every year in a multi-year corpus
         # (FilteredSearch's latest-FY scoping applies here too).
-        yearset = {p.split("_FY")[1] for p in periods}
+        yearset = {p.split("_FY")[1] for p in periods if "_FY" in p}
         all_q = self._chronological(
-            p for p in self.data if p.split("_FY")[1] in yearset
+            p for p in self.data if "_FY" in p and p.split("_FY")[1] in yearset
         )
 
         answer: Optional[str] = None

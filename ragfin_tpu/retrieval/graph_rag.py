@@ -118,12 +118,24 @@ def lexical_question_entities(question: str) -> list[dict[str, str]]:
             seen.add(key)
             entities.append({"name": name, "type": type_})
 
+    # Year-aware quarter mapping: bare aliases default to the supported
+    # year, but a question naming a fiscal year must NOT be silently
+    # answered from another year's facts — an uncovered year yields no
+    # quarter entity (the caller falls back instead of being wrong).
+    years = re.findall(r"fy\s?(\d{4})", q)
     for alias, period in _QUARTER_ALIASES.items():
         if re.search(rf"\b{re.escape(alias)}\b", q):
-            add(period, "Quarter")
+            if years:
+                qtag = period.split("_FY")[0]
+                for y in years:
+                    cand = f"{qtag}_FY{y}"
+                    if cand in SUPPORTED_QUARTERS:
+                        add(cand, "Quarter")
+            else:
+                add(period, "Quarter")
     mentions_all_segments = _COMPARATIVE.search(q) and re.search(r"\bsegments?\b|\bbusiness\b", q)
     for alias, name in _SEGMENT_ALIASES.items():
-        if alias in q:
+        if re.search(rf"\b{re.escape(alias)}\b", q):
             add(name, "Segment")
     if mentions_all_segments and not any(e["type"] == "Segment" for e in entities):
         for name in FINANCIAL_ENTITY_TYPES["business_segments"]:
@@ -134,7 +146,12 @@ def lexical_question_entities(question: str) -> list[dict[str, str]]:
     def add_all(aliases: dict, etype: str) -> None:
         matched_spans: list[str] = []
         for alias, name in sorted(aliases.items(), key=lambda kv: -len(kv[0])):
-            if alias in q and not any(alias in span for span in matched_spans):
+            # Word-bounded: bare substring tests let "eps" match inside
+            # "steps" and "profit" inside "profitability", polluting the
+            # entity set and flipping strategy dispatch.
+            if re.search(rf"\b{re.escape(alias)}\b", q) and not any(
+                alias in span for span in matched_spans
+            ):
                 add(name, etype)
                 matched_spans.append(alias)
 
@@ -348,9 +365,12 @@ class GraphQueryEngine:
             vals[r["quarter"]] = r
         out = [vals[q] for q in (q_from, q_to) if q in vals]
         if q_from in vals and q_to in vals:
-            v0 = vals[q_from].get("value", vals[q_from].get("revenue"))
-            v1 = vals[q_to].get("value", vals[q_to].get("revenue"))
-            if v0:
+            # .get(key, default) returns a STORED None without falling back
+            # (_rows_to_dicts emits value=None for NaN facts) — coalesce
+            # explicitly, and require both endpoints numeric.
+            v0 = vals[q_from].get("value") or vals[q_from].get("revenue")
+            v1 = vals[q_to].get("value") or vals[q_to].get("revenue")
+            if v0 and v1 is not None:
                 out.append(
                     {
                         "name": name,
@@ -383,8 +403,14 @@ class GraphQueryEngine:
             entities = lexical_question_entities(question)
             if entities:
                 dispatch = strategy_search(self.graph, question, entities, limit=limit)
-                return {"plan": {"strategy": dispatch["strategy"]}, "results": dispatch["results"],
-                        "fallback": False}
+                if dispatch["results"]:
+                    return {"plan": {"strategy": dispatch["strategy"]},
+                            "results": dispatch["results"], "fallback": False}
+                # Half-recognized question with no matching facts: retry
+                # with the latest-metrics fallback, same as the LLM-plan
+                # path (reference graph_service.py:249-256 semantics).
+                fb = self.fallback_plan(limit)
+                return {"plan": fb, "results": self._execute(fb), "fallback": True}
             plan = self.fallback_plan(limit)
         results = self._execute(plan)
         if not results:

@@ -144,3 +144,57 @@ class TestVectorRagIntegration:
         # Follow-up retrievals surfaced as contexts for grounding.
         ctx_ids = {c["id"] for c in out["contexts"]}
         assert any("q2" in c for c in ctx_ids) and any("q3" in c for c in ctx_ids)
+
+
+class TestScopeAndMatchingGuards:
+    """Round-3 review fixes: the confident offline answerer must bail
+    rather than be confidently wrong."""
+
+    def test_substring_metric_does_not_hijack(self, analyst):
+        out = analyst.answer("What steps were taken in Q2 FY2024?")
+        assert out is None or "eps" not in out[0].lower()
+
+    def test_at_least_is_not_a_minimum_cue(self, analyst):
+        out = analyst.answer("Which quarter had at least 15% net margin?")
+        assert out is None or "lowest" not in out[0].lower()
+
+    def test_explicit_quarter_survives_expansion_words(self, analyst):
+        out = analyst.answer("What was net profit in Q3 FY2024 across all businesses?")
+        assert out is not None
+        text = out[0]
+        # A single-quarter figure, not a four-quarter trend narrative.
+        assert "11,053" in text and "Q1" not in text
+
+    def test_other_company_question_bails(self, corpus):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.retrieval.analytical import AnalyticalAnswerer
+
+        other = IndexedChunk(
+            id="hdfc_q1_fy2024_profitability_analysis",
+            text="HDFC Bank Limited Q1_FY2024 NET PROFIT: ₹12,370 crore",
+            period="Q1_FY2024",
+            chunk_type="profitability_analysis",
+            statement_type="consolidated",
+            primary_value=12370.0,
+            company="HDFC Bank",
+        )
+        a = AnalyticalAnswerer(list(corpus) + [other])
+        assert a.answer("What was HDFC Bank's net profit in Q1 FY2024?") is None
+        own = a.answer("What was the net profit in Q1 FY2024?")
+        assert own is not None and "10,636" in own[0]
+
+    def test_non_fy_period_does_not_crash(self, corpus):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.retrieval.analytical import AnalyticalAnswerer
+
+        odd = IndexedChunk(
+            id="annual_summary",
+            text="ICICI Bank Limited FY2024 annual summary",
+            period="FY2024",
+            chunk_type="profitability_analysis",
+            statement_type="consolidated",
+            primary_value=0.0,
+        )
+        a = AnalyticalAnswerer(list(corpus) + [odd])
+        out = a.answer("What was the net profit in Q1 FY2024?")
+        assert out is not None and "10,636" in out[0]

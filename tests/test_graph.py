@@ -283,3 +283,36 @@ class TestAggregation:
         top = out["results"][0]
         assert top["extremum"] == "min"
         assert top["quarter"] == "Q1_FY2024"  # 10636 is the FY low
+
+
+class TestLexicalEntityGuards:
+    """Round-3 review fixes: the lexical matcher must not invent entities
+    from substrings or silently answer the wrong fiscal year."""
+
+    def test_uncovered_year_yields_no_quarters(self):
+        from ragfin_tpu.retrieval.graph_rag import lexical_question_entities
+
+        ents = lexical_question_entities("What was net profit in Q1 FY2019?")
+        assert not [e for e in ents if e["type"] == "Quarter"]
+
+    def test_named_supported_year_still_maps(self):
+        from ragfin_tpu.retrieval.graph_rag import lexical_question_entities
+
+        ents = lexical_question_entities("What was net profit in Q1 FY2024?")
+        assert {"name": "Q1_FY2024", "type": "Quarter"} in ents
+
+    def test_profitability_does_not_match_profit_alias(self):
+        from ragfin_tpu.retrieval.graph_rag import lexical_question_entities
+
+        ents = lexical_question_entities("How did profitability trend across FY2024?")
+        # "profitability" must not add the NET PROFIT metric via the bare
+        # "profit" substring (it may add nothing or a ratio).
+        assert not [
+            e for e in ents if e["type"] == "Metric" and e["name"] == "NET PROFIT"
+        ]
+
+    def test_steps_does_not_match_eps(self):
+        from ragfin_tpu.retrieval.graph_rag import lexical_question_entities
+
+        ents = lexical_question_entities("What steps were taken in Q2 FY2024?")
+        assert not [e for e in ents if "EPS" in e["name"].upper()]

@@ -107,8 +107,15 @@ class VectorRAG:
 
     # --- answer (MCP tool `answer_question` contract) ---------------------
     async def search_and_answer(self, question: str, top_k: int = 3) -> dict[str, Any]:
+        import asyncio
+
         with METRICS.timed("vector.search_and_answer"):
-            hits = self._search_one(question, top_k)
+            # The batcher wait (and a cold direct search) BLOCKS — on the
+            # shared MCP tool loop that would serialize concurrent
+            # answer_question calls (defeating the micro-batcher, which
+            # exists to coalesce them) and stall every other async tool
+            # behind a single degraded-tunnel query. Run it off-loop.
+            hits = await asyncio.to_thread(self._search_one, question, top_k)
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,

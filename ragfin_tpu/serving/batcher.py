@@ -66,6 +66,15 @@ class QueryBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        # Second drain pass: an item enqueued between a caller's stop-flag
+        # check and the collector's final drain would otherwise hang its
+        # caller to the full timeout.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._resolve(item, exc=RuntimeError("batcher stopped"))
 
     def __enter__(self) -> "QueryBatcher":
         return self.start()
@@ -74,15 +83,23 @@ class QueryBatcher:
         self.stop()
 
     # --- client API -------------------------------------------------------
+    def _enqueue(self, item: "_WorkItem") -> None:
+        if self._stop.is_set():
+            # A put after the collector's shutdown drain would never be
+            # resolved and the caller would hang to its timeout; fail fast
+            # with the same error the drain uses.
+            raise RuntimeError("batcher stopped")
+        self._queue.put(item)
+
     def search(self, query: str, top_k: int = 3, timeout: Optional[float] = 30.0):
         """Blocking single-query search through the batcher."""
         item = _WorkItem(query, top_k)
-        self._queue.put(item)
+        self._enqueue(item)
         return item.future.result(timeout=timeout)
 
     def submit(self, query: str, top_k: int = 3) -> Future:
         item = _WorkItem(query, top_k)
-        self._queue.put(item)
+        self._enqueue(item)
         return item.future
 
     # --- collector --------------------------------------------------------

@@ -145,7 +145,11 @@ class RagFinEngine:
     def warmup(self) -> None:
         """Pre-compile the common search shapes so first queries are fast
         (jit caches persist per process; serving p50 should not pay compile)."""
-        if not self.chunks:
+        if self.vector_index.n == 0:
+            # Nothing indexed — nothing to warm. (Do NOT gate on
+            # self.chunks: a deployment serving a PERSISTED index loads
+            # records without source chunks and still needs every warmup
+            # below.)
             return
         for top_k in (1, self.settings.default_top_k, 10):
             try:
@@ -159,7 +163,7 @@ class RagFinEngine:
         # and one unscoped question so serving p50 never pays compile.
         searcher = getattr(self.vector_rag, "_searcher", None)
         if searcher is not None:
-            period = self.chunks[0].period.replace("_", " ")
+            period = self.vector_index.records[0].period.replace("_", " ")
             for q in (f"warmup net profit in {period}", "warmup query"):
                 try:
                     searcher.search_texts([q], top_k=self.settings.default_top_k)
@@ -208,6 +212,20 @@ class RagFinEngine:
             self.vector_index.save(self.settings.index_dir)
             self.graph.save(os.path.join(self.settings.index_dir, "graph"))
 
+    def close(self) -> None:
+        """Stop owned background machinery (the batcher's collector thread).
+
+        Without this, every engine re-init in one process leaks a live
+        daemon thread whose bound search fn keeps the full vector index
+        reachable — N resets = N retained multi-GB indexes."""
+        if self.batcher is not None:
+            try:
+                self.batcher.stop()
+            except Exception:
+                pass
+            self.batcher = None
+            self.vector_rag.batcher = None
+
     # --- health (deep checks, reference health_tools.py:19-106) ----------
     def health(self) -> dict:
         issues = self.settings.validate()
@@ -253,4 +271,6 @@ def get_engine(**kwargs) -> RagFinEngine:
 
 def reset_engine() -> None:
     global _engine
+    if _engine is not None:
+        _engine.close()
     _engine = None

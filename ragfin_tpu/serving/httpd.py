@@ -117,6 +117,12 @@ class HTTPError(Exception):
 
 def _make_handler(app: JsonApp):
     class _Handler(BaseHTTPRequestHandler):
+        # A stalled client (Content-Length promised, bytes never sent) must
+        # not pin a handler thread forever; 30 s covers slow LANs.
+        timeout = 30
+        # Cap request bodies: an attacker-sized Content-Length must not
+        # buffer gigabytes (chunk payloads are << 16 MB).
+        MAX_BODY = 16 * 1024 * 1024
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -139,6 +145,9 @@ def _make_handler(app: JsonApp):
                 length = int(self.headers.get("Content-Length") or 0)
             except ValueError:
                 length = 0
+            if length > self.MAX_BODY:
+                self.send_error(413, "request body too large")
+                return
             raw = self.rfile.read(length) if length else b""
             try:
                 body = json.loads(raw) if raw else None

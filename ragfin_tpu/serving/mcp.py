@@ -113,10 +113,21 @@ class MCPToolServer:
     # --- protocol ---------------------------------------------------------
     def _endpoint(self, request: Request) -> Response:
         msg = request.json or {}
+        if not isinstance(msg, dict):
+            # A JSON-RPC batch array (or any non-object body) is not
+            # supported — answer with the spec's Invalid Request instead of
+            # crashing into a generic 500.
+            return Response.json(
+                {"jsonrpc": "2.0", "id": None,
+                 "error": {"code": -32600, "message": "Invalid Request: expected a JSON-RPC object"}},
+                status=400,
+            )
         method = msg.get("method")
         msg_id = msg.get("id")
         if method == "initialize":
             session = uuid.uuid4().hex
+            if len(self.sessions) > 1024:  # bound memory for reconnecting clients
+                self.sessions.clear()
             self.sessions.add(session)
             result = {
                 "protocolVersion": PROTOCOL_VERSION,
@@ -307,7 +318,9 @@ def build_graph_mcp(engine: Optional[RagFinEngine] = None, monolith: bool = Fals
             for name in ("NET PROFIT", "Operating Profit", "Total Income"):
                 rows = engine.graph.match(quarters=[quarter1, quarter2], names=[name], types=[METRIC])
                 vals = {r["quarter"]: r["value"] for r in rows}
-                if quarter1 in vals and quarter2 in vals and vals[quarter1]:
+                # value can be a stored None (NaN facts) — skip the metric
+                # rather than crash the whole tool on subtraction.
+                if vals.get(quarter1) and vals.get(quarter2) is not None:
                     growth = (vals[quarter2] - vals[quarter1]) / vals[quarter1] * 100
                     metrics[name] = {quarter1: vals[quarter1], quarter2: vals[quarter2],
                                      "growth_pct": round(growth, 2)}

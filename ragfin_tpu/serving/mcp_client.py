@@ -36,6 +36,15 @@ class MCPClient:
         self.timeout = timeout
         self.session_id: Optional[str] = None
         self._rpc_id = 0
+        # One persistent pooled connection: a fresh httpx.Client per request
+        # costs a TCP connect/teardown on every tool call through the
+        # adapter bridge. The lock serializes the handshake and rpc-id
+        # bumps across the adapter's handler threads (concurrent first
+        # requests raced duplicate initializes).
+        import threading
+
+        self._client = httpx.Client(timeout=timeout)
+        self._lock = threading.Lock()
 
     def _headers(self) -> dict:
         headers = {
@@ -47,15 +56,29 @@ class MCPClient:
         return headers
 
     def _post(self, payload: dict) -> httpx.Response:
-        with httpx.Client(timeout=self.timeout) as client:
-            return client.post(f"{self.base_url}/mcp", json=payload, headers=self._headers())
+        return self._client.post(
+            f"{self.base_url}/mcp", json=payload, headers=self._headers()
+        )
 
-    def initialize(self) -> dict:
-        self._rpc_id += 1
+    def _next_id(self) -> int:
+        with self._lock:
+            self._rpc_id += 1
+            return self._rpc_id
+
+    def _ensure_session(self) -> None:
+        # Double-checked under the lock so concurrent first requests from
+        # the adapter's handler threads perform exactly one handshake.
+        if self.session_id is not None:
+            return
+        with self._lock:
+            if self.session_id is None:
+                self._initialize_locked()
+
+    def _initialize_locked(self) -> dict:
         resp = self._post(
             {
                 "jsonrpc": "2.0",
-                "id": self._rpc_id,
+                "id": self._rpc_id + 1,
                 "method": "initialize",
                 "params": {
                     "protocolVersion": "2025-03-26",
@@ -64,27 +87,33 @@ class MCPClient:
                 },
             }
         )
+        self._rpc_id += 1
         self.session_id = resp.headers.get("mcp-session-id")
         result = _parse_sse(resp.text)
         # Complete the handshake.
         self._post({"jsonrpc": "2.0", "method": "notifications/initialized"})
         return result.get("result", {})
 
+    def initialize(self) -> dict:
+        with self._lock:
+            return self._initialize_locked()
+
+    def close(self) -> None:
+        self._client.close()
+
     def list_tools(self) -> list[dict]:
-        if self.session_id is None:
-            self.initialize()
-        self._rpc_id += 1
-        resp = self._post({"jsonrpc": "2.0", "id": self._rpc_id, "method": "tools/list"})
+        self._ensure_session()
+        resp = self._post(
+            {"jsonrpc": "2.0", "id": self._next_id(), "method": "tools/list"}
+        )
         return _parse_sse(resp.text).get("result", {}).get("tools", [])
 
     def call_tool(self, name: str, arguments: Optional[dict] = None) -> Any:
-        if self.session_id is None:
-            self.initialize()
-        self._rpc_id += 1
+        self._ensure_session()
         resp = self._post(
             {
                 "jsonrpc": "2.0",
-                "id": self._rpc_id,
+                "id": self._next_id(),
                 "method": "tools/call",
                 "params": {"name": name, "arguments": arguments or {}},
             }

@@ -30,6 +30,19 @@ from .mcp import run_tool_coroutine
 from .mcp_client import MCPClient
 
 
+
+
+def _body(request: Request) -> dict:
+    """Request body as a JSON object; a non-object body (e.g. a bare list)
+    is a 422, not an AttributeError-turned-500."""
+    body = request.json
+    if body is None:
+        return {}
+    if not isinstance(body, dict):
+        raise HTTPError(422, "request body must be a JSON object")
+    return body
+
+
 # ---------------------------------------------------------------------------
 # Entity service (:8001)
 # ---------------------------------------------------------------------------
@@ -57,7 +70,7 @@ def build_entity_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
 
     @app.post("/api/v1/extract")
     def extract(request: Request):
-        chunk = _chunk_from((request.json or {}).get("chunk", request.json))
+        chunk = _chunk_from(_body(request).get("chunk", request.json))
         t0 = time.perf_counter()
         entities = run_tool_coroutine(engine.graph_builder.extractor.extract(chunk))
         return {
@@ -71,18 +84,32 @@ def build_entity_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
 
     @app.post("/api/v1/extract/batch")
     def extract_batch(request: Request):
-        chunks = [(c, _chunk_from(c)) for c in (request.json or {}).get("chunks", [])]
-        results = []
-        for raw, chunk in chunks:
-            entities = run_tool_coroutine(engine.graph_builder.extractor.extract(chunk))
+        raw_chunks = _body(request).get("chunks", [])
+        if not isinstance(raw_chunks, list):
+            raise HTTPError(422, "'chunks' must be a list")
+        results, failed = [], []
+        for i, raw in enumerate(raw_chunks):
+            # Per-chunk validation: one malformed chunk must not 422 the
+            # whole batch (mirrors the graph build endpoint's per-chunk
+            # failure accounting).
+            try:
+                chunk = _chunk_from(raw)
+                entities = run_tool_coroutine(engine.graph_builder.extractor.extract(chunk))
+            except HTTPError as e:
+                cid = raw.get("id") if isinstance(raw, dict) else None
+                failed.append({"index": i, "chunk_id": cid, "error": e.detail})
+                continue
             results.append(
                 {"chunk_id": chunk.id, "entities": entities.model_dump(), "entity_count": entities.total_count()}
             )
-        return {"success": True, "processed": len(results), "results": results}
+        out = {"success": True, "processed": len(results), "results": results}
+        if failed:
+            out["failed"] = failed
+        return out
 
     @app.post("/api/v1/model/switch")
     def model_switch(request: Request):
-        model = (request.json or {}).get("model")
+        model = _body(request).get("model")
         if model not in SUPPORTED_MODELS and model != "rule-based":
             raise HTTPError(400, f"unsupported model '{model}'")
         if model == "rule-based":
@@ -121,7 +148,7 @@ def build_graph_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
 
     @app.post("/api/v1/build")
     def build(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         chunks = payload.get("chunks", [])
         result = run_tool_coroutine(
             engine.graph_builder.build(
@@ -142,7 +169,7 @@ def build_graph_app(engine: Optional[RagFinEngine] = None) -> JsonApp:
     @app.post("/api/v1/query")
     def query(request: Request):
         try:
-            req = GraphQueryRequest.model_validate(request.json or {})
+            req = GraphQueryRequest.model_validate(_body(request))
         except Exception as e:
             raise HTTPError(422, str(e))
         t0 = time.perf_counter()
@@ -197,7 +224,7 @@ def build_vector_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/search")
     def search(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool(
             "search_vectors",
             {"query": payload.get("query", ""), "top_k": int(payload.get("top_k", 3))},
@@ -205,7 +232,7 @@ def build_vector_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/answer")
     def answer(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool(
             "answer_question",
             {"question": payload.get("question", ""), "top_k": int(payload.get("top_k", 3))},
@@ -228,7 +255,7 @@ def build_graph_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/extract")
     def extract(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool(
             "extract_financial_entities",
             {
@@ -240,7 +267,7 @@ def build_graph_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/build")
     def build(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool(
             "build_financial_graph",
             {
@@ -252,7 +279,7 @@ def build_graph_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/query")
     def query(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool(
             "query_financial_graph",
             {"question": payload.get("question", ""), "limit": int(payload.get("limit", 10))},
@@ -264,7 +291,7 @@ def build_graph_adapter(mcp_url: str) -> JsonApp:
 
     @app.post("/clear")
     def clear(request: Request):
-        payload = request.json or {}
+        payload = _body(request)
         return client.call_tool("clear_graph_data", {"dataset_id": payload.get("dataset_id", "")})
 
     @app.get("/health")

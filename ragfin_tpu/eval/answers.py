@@ -16,15 +16,24 @@ from typing import Optional, Sequence
 
 from .datasets import EvalQuestion
 
-_NUM_RE = re.compile(r"-?\d[\d,]*(?:\.\d+)?")
+# A '-' directly preceded by a digit is a RANGE separator ("10,636-11,672"),
+# not a sign — without the lookbehind the second endpoint extracted negative.
+_NUM_RE = re.compile(r"(?<!\d)-?\d[\d,]*(?:\.\d+)?")
+# Scope tokens are retrieval keys, not answer figures: counting Q1/FY2024/
+# 2024 as expected numbers penalizes correct paraphrased answers ("the
+# first quarter of FY2024") and credits unrelated figures that land in the
+# year's tolerance window.
+_SCOPE_RE = re.compile(r"\bQ[1-4]\b|\bFY\s?\d{4}\b|\b20\d{2}\b", re.IGNORECASE)
 
 TOLERANCE_PCT = 2.0
 TOLERANCE_ABS_CRORE = 50.0
 # The ±₹50-crore absolute tolerance only applies to crore-scale absolute
 # values (reference guideline: "±2% for percentages, ±₹50 crore for absolute
-# values", qa_subset.json evaluation_guidelines). Percentages/ratios/EPS are
-# all < 100 in this dataset; crore figures are hundreds to tens of thousands.
-ABS_TOLERANCE_MIN_MAGNITUDE = 100.0
+# values", qa_subset.json evaluation_guidelines) — and only where it is at
+# least as TIGHT as the ±2% relative window (crossover at 2500): below that
+# it would accept up to ~50% relative error (a 157-crore figure matching
+# anything in 107-207). Percentages/ratios/EPS are all < 100 here.
+ABS_TOLERANCE_MIN_MAGNITUDE = 2500.0
 
 
 def extract_numbers(text: str) -> list[float]:
@@ -36,6 +45,12 @@ def extract_numbers(text: str) -> list[float]:
         except ValueError:
             continue
     return out
+
+
+def extract_figures(text: str) -> list[float]:
+    """Answer FIGURES: all numbers minus period/scope tokens (see
+    _SCOPE_RE)."""
+    return extract_numbers(_SCOPE_RE.sub(" ", text or ""))
 
 
 def number_matches(expected: float, candidates: Sequence[float]) -> bool:
@@ -62,8 +77,8 @@ def answer_accuracy(answer: str, ground_truth: str) -> Optional[float]:
 
     Returns None when the ground truth contains no numbers (non-numeric
     questions fall back to token overlap)."""
-    expected = extract_numbers(ground_truth)
-    got = extract_numbers(answer)
+    expected = extract_figures(ground_truth)
+    got = extract_figures(answer)
     if not expected:
         return None
     return sum(1 for e in expected if number_matches(e, got)) / len(expected)
@@ -98,7 +113,7 @@ def faithfulness(answer: str, contexts: Sequence[str]) -> Optional[float]:
     dataset's numeric tolerance) or are pairwise-derivable from them
     (differences / percent changes — see :func:`_derived_pool`). None when
     the answer has no numbers."""
-    nums = extract_numbers(answer)
+    nums = extract_figures(answer)
     if not nums:
         return None
     context_nums = extract_numbers(" ".join(contexts))
@@ -143,10 +158,17 @@ class AnswerResult:
 
 async def evaluate_answers(vector_rag, questions: Sequence[EvalQuestion], top_k: int = 3) -> dict:
     """Run search_and_answer per question and score against ground truth."""
+    import asyncio
+
     results: list[AnswerResult] = []
     detailed: list[dict] = []
-    for q in questions:
-        out = await vector_rag.search_and_answer(q.question, top_k=top_k)
+    # Concurrent answers (order preserved): search_and_answer offloads its
+    # blocking search precisely so concurrent calls coalesce in the query
+    # micro-batcher — a sequential await would feed it one query at a time.
+    outs = await asyncio.gather(
+        *(vector_rag.search_and_answer(q.question, top_k=top_k) for q in questions)
+    )
+    for q, out in zip(questions, outs):
         answer = out.get("answer", "")
         contexts = [c.get("text", "") for c in out.get("contexts", [])]
         faith = faithfulness(answer, contexts)

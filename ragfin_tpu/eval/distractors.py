@@ -222,7 +222,11 @@ def _perturb_numbers(text: str, r) -> str:
         val = float(tok.replace(",", ""))
         scaled = val * r.uniform(0.8, 1.25)
         if "." in tok:
-            return f"{scaled:.{len(tok.split('.')[1])}f}"
+            d = len(tok.split(".")[1])
+            # Comma AND decimal ("10,636.5") keeps both — dropping the
+            # grouping would change the number-token shape, not just the
+            # value, making dupe-tier forgeries less exact duplicates.
+            return f"{scaled:,.{d}f}" if "," in tok else f"{scaled:.{d}f}"
         if "," in tok:
             return f"{scaled:,.0f}"
         # Plain integer: keep magnitude class (quarter digits, years and

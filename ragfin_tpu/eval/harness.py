@@ -95,11 +95,15 @@ def to_research_summary(report: EvalReport, system_type: str = "ragfin_tpu_exact
     recs = [r.recall for r in report.results]
     f1s = [r.f1 for r in report.results]
 
+    # One definition with EvalReport.summary(): the research-summary and
+    # summary() artifacts must report identical statistics.
+    ms = report._mean_std
+
     def mean(vals):
-        return statistics.fmean(vals) if vals else 0.0
+        return ms(vals)["mean"]
 
     def std(vals):
-        return statistics.pstdev(vals) if len(vals) > 1 else 0.0
+        return ms(vals)["std"]
 
     retrieval_metrics = {
         "precision_mean": mean(precs),

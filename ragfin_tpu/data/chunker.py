@@ -248,7 +248,12 @@ def segment_chunk(segmental: Json, period: str, company: str) -> Optional[Indexe
         series = revenue_data.get(seg_key)
         if not series or cur not in series:
             continue
-        revenue = series[cur]
+        # _get, not series[cur]: an explicit JSON null must behave like a
+        # missing key (see _get's docstring) — raw access crashed the whole
+        # corpus build on one null segment revenue.
+        revenue = _get(series, cur)
+        if revenue is None:
+            continue
         profit = _get(profit_data.get(seg_key), cur)
         total_revenue += revenue
         details.append((seg_name, revenue, profit, _pct(profit, revenue)))

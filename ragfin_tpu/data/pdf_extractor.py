@@ -313,10 +313,13 @@ def _unescape_literal(raw: bytes) -> bytes:
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < len(raw):
             nxt = raw[i + 1 : i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
+                # (\8 / \9 are not octal: the PDF spec says a backslash
+                # before a non-octal digit just drops; int(_, 8) on them
+                # crashed the whole document's extraction.)
                 j = i + 1
                 digits = b""
-                while j < len(raw) and raw[j : j + 1].isdigit() and len(digits) < 3:
+                while j < len(raw) and raw[j : j + 1] in b"01234567" and len(digits) < 3:
                     digits += raw[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)
@@ -419,8 +422,13 @@ def extract_text(path: str) -> str:
 # Parameter extraction (honest generic line-item parse, schema parity)
 # ---------------------------------------------------------------------------
 
+# Possessive quantifiers ([\d,]++ etc., Python 3.11+) forbid backtracking
+# INTO a number token: the ambiguous split of "[\d,]+" groups under the
+# outer repetition otherwise explodes combinatorially on digit/comma runs
+# (a 65-char garbled line measured minutes of regex time — a hang for the
+# whole extraction batch).
 _LINE_ITEM_RE = re.compile(
-    r"^([A-Za-z][A-Za-z &/().,'-]{3,80}?)[\s.:]*((?:\(?-?[\d,]+(?:\.\d+)?\)?[\s]*){1,8})$"
+    r"^([A-Za-z][A-Za-z &/().,'-]{3,80}?)[\s.:]*+((?:\(?-?[\d,]++(?:\.\d++)?\)?[\s]*+){1,8}+)$"
 )
 
 _BANKS = ("icici", "axis", "hdfc", "kotak", "sbi", "dbs", "yes bank", "indusind")

@@ -62,7 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if lib.ragfin_fasthash_abi_version() != 1:
             return None
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale/foreign .so missing an exported symbol
+        # (e.g. a build left behind after a failed make on updated source)
+        # must fall back to the Python path like any other load failure —
+        # the module's transparent-fallback contract.
         return None
     return _lib
 

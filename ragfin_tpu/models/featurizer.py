@@ -234,23 +234,30 @@ class HashedFeaturizer:
             col_mask = np.arange(take)[None, :] < lens[:, None]
             ids[:, :take] = np.where(col_mask, raw_ids[:, :take], 0)
             tf[:, :take] = np.where(col_mask, raw_tf[:, :take], 0.0)
-            wts = np.where(tf > 0, 1.0 + np.log(np.maximum(tf, 1e-9)), 0.0) if self.sublinear_tf else tf
-            if self.n_docs:
-                idf = self._idf_array()[ids]
-                wts = wts * idf if self.drop_oov else wts * np.where(idf > 0, idf, math.log(1 + self.n_docs) + 1.0)
-            wts = np.where(tf > 0, wts, 0.0).astype(np.float32)
-            return self._canonical_order(ids, wts)
-
-        weighted = [self.weigh(self.feature_ids(t)) for t in texts]
-        max_len = max((len(w) for w in weighted), default=1)
-        length = pad_to or max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
-        ids = np.zeros((len(texts), length), dtype=np.int32)
-        wts = np.zeros((len(texts), length), dtype=np.float32)
-        for row, wmap in enumerate(weighted):
-            items = list(wmap.items())[:length]
-            for col, (fid, w) in enumerate(items):
-                ids[row, col] = fid
-                wts[row, col] = w
+        else:
+            # Python fallback emits the SAME (ids, tf) arrays and then runs
+            # the SAME vectorized weighting below — computing weights via
+            # the scalar f64 path (weigh()) drifted from the native f32 np
+            # pipeline by an ulp, and this codebase has already paid for a
+            # 1-ulp norm difference once (see _canonical_order).
+            counted = [self.feature_ids(t) for t in texts]
+            max_len = max((len(c) for c in counted), default=1)
+            length = pad_to or max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
+            ids = np.zeros((len(texts), length), np.int32)
+            tf = np.zeros((len(texts), length), np.float32)
+            for row, counts in enumerate(counted):
+                for col, (fid, c) in enumerate(list(counts.items())[:length]):
+                    ids[row, col] = fid
+                    tf[row, col] = c
+        wts = np.where(tf > 0, 1.0 + np.log(np.maximum(tf, 1e-9)), 0.0) if self.sublinear_tf else tf
+        if self.n_docs:
+            idf = self._idf_array()[ids]
+            wts = wts * idf if self.drop_oov else wts * np.where(idf > 0, idf, math.log(1 + self.n_docs) + 1.0)
+        wts = np.where(tf > 0, wts, 0.0).astype(np.float32)
+        # Zero-weight slots (padding AND OOV-dropped features) carry id 0,
+        # as documented — real ids in dead slots would diverge between
+        # hosts with and without the native library.
+        ids = np.where(wts != 0, ids, 0)
         return self._canonical_order(ids, wts)
 
     # --- persistence -----------------------------------------------------

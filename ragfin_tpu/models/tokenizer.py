@@ -30,6 +30,8 @@ class WordPieceTokenizer:
         max_len: int = 256,
         lowercase: bool = True,
     ):
+        if vocab is not None and not vocab:
+            raise ValueError("empty WordPiece vocab (unreadable vocab.txt?)")
         self.vocab = vocab
         self.vocab_size = vocab_size if vocab is None else max(vocab.values()) + 1
         self.max_len = max_len

@@ -111,8 +111,7 @@ class MiniLMEmbedder:
         self.params = params if params is not None else init_params(self.config, seed=seed)
         self.pretrained = params is not None
         self.tokenizer = tokenizer or WordPieceTokenizer(max_len=max_len)
-        model = MiniLMEncoder(self.config)
-        self._apply = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
+        self._apply = _jit_minilm_apply(self.config)
 
     def fit(self, texts: Sequence[str]) -> "MiniLMEmbedder":
         return self  # nothing corpus-dependent
@@ -127,6 +126,27 @@ class MiniLMEmbedder:
 
     def state_dict(self) -> dict:
         return {"backend": self.backend, "checkpoint": self.checkpoint, "pretrained": self.pretrained}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_minilm_apply(config):
+    """One jitted forward per MiniLM config, shared across instances.
+
+    A per-instance jax.jit closure retraces/recompiles the full 6-layer
+    encoder for every MiniLMEmbedder construction (engine restart + eval
+    harness = two compiles per sequence-length bucket — minutes through a
+    degraded remote-compile window). Mirrors bag_encoder's module-level
+    _jit_bag_encode. Requires config to be hashable (it is a frozen
+    dataclass)."""
+    import jax
+
+    from .minilm import MiniLMEncoder
+
+    model = MiniLMEncoder(config)
+    return jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
 
 
 def make_embedder(backend: str = "hashed", **kwargs) -> Embedder:

@@ -49,8 +49,13 @@ class Settings:
     # Retrieval
     default_top_k: int = 3
     collection_name: str = "fin_chunks"
-    embed_backend: str = "hashed"  # "hashed" | "minilm"
+    # "hashed" = weight-free lexical (TF-IDF→JL); "trained" = the
+    # from-scratch in-domain semantic encoder (models/domain_encoder.py,
+    # checkpoint committed in checkpoints/domain_encoder/); "minilm" =
+    # HF-checkpoint MiniLM (needs weights the zero-egress image lacks).
+    embed_backend: str = "hashed"  # "hashed" | "trained" | "minilm"
     minilm_checkpoint: Optional[str] = None
+    trained_checkpoint: Optional[str] = None  # None -> packaged default dir
     topk_method: str = "auto"  # "auto" | "dense" | "blocked" | "fused"
     # "float32" = exact f32 scoring (reference parity: Milvus stores f32);
     # "bfloat16" = the measured serving tier (~3x f32 QPS at 1M, recall
@@ -104,10 +109,16 @@ class Settings:
             issues.append(f"no API key configured for '{self.default_model}'")
         if self.default_top_k < 1:
             issues.append("default_top_k must be >= 1")
-        if self.embed_backend not in ("hashed", "minilm"):
+        if self.embed_backend not in ("hashed", "trained", "minilm"):
             issues.append(f"unknown embed_backend '{self.embed_backend}'")
         if self.embed_backend == "minilm" and not self.minilm_checkpoint:
             issues.append("embed_backend=minilm without minilm_checkpoint (random init)")
+        if self.embed_backend == "trained":
+            from ..models.domain_encoder import DEFAULT_CKPT_DIR
+
+            ckpt = self.trained_checkpoint or DEFAULT_CKPT_DIR
+            if not os.path.exists(os.path.join(ckpt, "config.json")):
+                issues.append(f"embed_backend=trained but no checkpoint at '{ckpt}'")
         if self.index_type not in ("flat", "ivf"):
             issues.append(f"unknown index_type '{self.index_type}'")
         if self.ivf_nprobe < 1:
@@ -129,6 +140,18 @@ class Settings:
         return issues
 
 
+def _default_backend() -> str:
+    """The semantic encoder is the default wherever its committed checkpoint
+    exists (reference parity: the reference always embeds semantically);
+    images without the checkpoint fall back to the weight-free lexical
+    backend rather than serving random weights."""
+    from ..models.domain_encoder import DEFAULT_CKPT_DIR
+
+    if os.path.exists(os.path.join(DEFAULT_CKPT_DIR, "config.json")):
+        return "trained"
+    return "hashed"
+
+
 def _from_env() -> Settings:
     load_dotenv()
     env = os.environ
@@ -142,8 +165,9 @@ def _from_env() -> Settings:
         chunks_snapshot=env.get("RAGFIN_CHUNKS_SNAPSHOT"),
         index_dir=env.get("RAGFIN_INDEX_DIR", ".ragfin_index"),
         default_top_k=int(env.get("RAGFIN_TOP_K", "3")),
-        embed_backend=env.get("RAGFIN_EMBED_BACKEND", "hashed"),
+        embed_backend=env.get("RAGFIN_EMBED_BACKEND", _default_backend()),
         minilm_checkpoint=env.get("RAGFIN_MINILM_CHECKPOINT"),
+        trained_checkpoint=env.get("RAGFIN_TRAINED_CHECKPOINT"),
         topk_method=env.get("RAGFIN_TOPK_METHOD", "auto"),
         index_dtype=env.get("RAGFIN_INDEX_DTYPE", "float32"),
         index_type=env.get("RAGFIN_INDEX_TYPE", "flat"),

@@ -128,6 +128,47 @@ class MiniLMEmbedder:
         return {"backend": self.backend, "checkpoint": self.checkpoint, "pretrained": self.pretrained}
 
 
+class TrainedEmbedder:
+    """The from-scratch in-domain semantic encoder (models/domain_encoder.py).
+
+    Replaces the reference's pretrained SentenceTransformer
+    (``chunking_storing (1).py:8``) with weights TRAINED in this repo —
+    the only semantic path possible in a zero-egress image. Loads the
+    committed checkpoint (params + domain WordPiece vocab + architecture),
+    shares the jitted MiniLM forward across instances, encodes in bf16 on
+    the MXU. Raises on a missing/corrupt checkpoint: unlike MiniLMEmbedder's
+    documented random-init fallback, silently serving untrained weights
+    under the name "trained" would be a quality lie.
+    """
+
+    backend = "trained"
+
+    def __init__(self, checkpoint: Optional[str] = None, batch_size: int = 256):
+        from .domain_encoder import DEFAULT_CKPT_DIR, load_encoder_checkpoint
+
+        self.checkpoint = checkpoint or DEFAULT_CKPT_DIR
+        self.params, self.tokenizer, self.config, self.meta = load_encoder_checkpoint(
+            self.checkpoint
+        )
+        self.dim = self.config.hidden_size
+        self.batch_size = batch_size
+        self._apply = _jit_minilm_apply(self.config)
+
+    def fit(self, texts: Sequence[str]) -> "TrainedEmbedder":
+        return self  # nothing corpus-dependent at index-build time
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        out = []
+        for start in range(0, len(texts), self.batch_size):
+            batch = list(texts[start : start + self.batch_size])
+            ids, mask = self.tokenizer.encode_batch(batch)
+            out.append(np.asarray(self._apply(self.params, ids, mask), np.float32))
+        return np.concatenate(out, axis=0) if out else np.zeros((0, self.dim), np.float32)
+
+    def state_dict(self) -> dict:
+        return {"backend": self.backend, "checkpoint": self.checkpoint, "meta": self.meta}
+
+
 import functools
 
 
@@ -153,11 +194,13 @@ def make_embedder(backend: str = "hashed", **kwargs) -> Embedder:
     known = {
         "hashed": ("vocab_size", "dim", "seed", "featurizer", "encoder"),
         "minilm": ("checkpoint", "seed", "batch_size", "max_len"),
+        "trained": ("checkpoint", "batch_size"),
     }
     if backend not in known:
         raise ValueError(f"unknown embed backend: {backend}")
-    unknown = set(kwargs) - set(known["hashed"]) - set(known["minilm"])
+    all_known = set().union(*known.values())
+    unknown = set(kwargs) - all_known
     if unknown:
         raise TypeError(f"unknown embedder kwargs: {sorted(unknown)}")
-    cls = HashedEmbedder if backend == "hashed" else MiniLMEmbedder
+    cls = {"hashed": HashedEmbedder, "minilm": MiniLMEmbedder, "trained": TrainedEmbedder}[backend]
     return cls(**{k: v for k, v in kwargs.items() if k in known[backend]})

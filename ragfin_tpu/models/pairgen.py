@@ -1,0 +1,332 @@
+"""Synthetic (query, document) pair generator for training the in-domain
+semantic encoder.
+
+The zero-egress image ships no pretrained sentence-encoder weights (the
+reference's ``SentenceTransformer('all-MiniLM-L6-v2')``,
+``chunking_storing (1).py:8``, cannot be downloaded), so the semantic
+encoder is trained FROM SCRATCH on this domain. Training data is free and
+unlimited: the statement templates of :mod:`ragfin_tpu.eval.distractors`
+(the same four analysis formats as the reference chunker,
+``chunking_storing (1).py:91-330``) generate documents over the full
+bank × fiscal-period × chunk-type space, and the question templates below —
+phrased through the broad banking idiom lexicon
+(:mod:`ragfin_tpu.models.synonyms`) — generate matching queries.
+
+In-batch negatives carry the supervision: every batch row has a distinct
+scope cell, so InfoNCE teaches the encoder to key jointly on company,
+period, and metric semantics while figures (random per generation) are
+uncorrelated noise the encoder learns to ignore.
+
+Two batch modes (the FY-wide false-negative rule):
+
+- ``scope``  — rows distinct on (bank, year, type); queries may be
+  quarter-specific or FY-wide. An FY-wide query ("How did X's profit move
+  over FY2024?") never sees a same-(bank, year, type) other-quarter doc as
+  an in-batch negative — that doc would be a legitimate positive.
+- ``quarter`` — rows distinct on the full (bank, year, quarter, type) cell;
+  queries are always quarter-specific. This mode supplies the
+  same-bank-same-year-different-quarter negatives that teach quarter keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..eval.distractors import _TEMPLATES, _SEGMENTS, _reword, BANKS
+
+_YEARS = list(range(2018, 2032))
+_ORDINALS = {1: "first", 2: "second", 3: "third", 4: "fourth"}
+
+# metric concept -> (chunk_type, phrasings). Phrasings mix canonical
+# statement vocabulary with the reporting idioms of synonyms.LEXICON — the
+# encoder must embed "bottom line" near "NET PROFIT".
+_METRICS: dict[str, tuple[str, list[str]]] = {
+    "net_profit": (
+        "profitability_analysis",
+        [
+            "net profit",
+            "bottom line",
+            "net earnings",
+            "profit after tax",
+            "money made after taxes",
+            "after-tax profit",
+            "PAT",
+        ],
+    ),
+    "operating_profit": (
+        "profitability_analysis",
+        ["operating profit", "pre-provision profit", "operating earnings"],
+    ),
+    "total_income": (
+        "profitability_analysis",
+        ["total income", "overall top line", "top line", "total revenue", "turnover"],
+    ),
+    "interest_income": (
+        "profitability_analysis",
+        ["interest income", "NII", "net interest income"],
+    ),
+    "other_income": ("profitability_analysis", ["other income", "fee income"]),
+    "expenses": (
+        "profitability_analysis",
+        ["total expenses", "spending", "expenditure", "outgoings", "operating costs"],
+    ),
+    "cost_ratio": (
+        "profitability_analysis",
+        [
+            "cost ratio",
+            "cost to income ratio",
+            "efficiency ratio",
+            "expense-to-income relationship",
+        ],
+    ),
+    "net_margin": (
+        "profitability_analysis",
+        ["net margin", "profit margin", "profitability relative to income"],
+    ),
+    "provisions": ("profitability_analysis", ["provisions", "provisioning"]),
+    "advances": ("balance_sheet_analysis", ["advances", "loan book", "loans", "lending"]),
+    "deposits": (
+        "balance_sheet_analysis",
+        [
+            "customer deposits",
+            "deposits",
+            "money parked with the bank",
+            "money customers parked",
+        ],
+    ),
+    "investments": ("balance_sheet_analysis", ["investments", "investment book"]),
+    "total_assets": ("balance_sheet_analysis", ["total assets", "balance sheet size"]),
+    "equity": (
+        "balance_sheet_analysis",
+        ["total equity", "net worth", "shareholder funds", "book value"],
+    ),
+    "borrowings": ("balance_sheet_analysis", ["borrowings", "borrowed funds"]),
+    "eps": (
+        "financial_ratios",
+        ["basic EPS", "earnings per share", "per-share earnings", "diluted EPS"],
+    ),
+    "segment_revenue": (
+        "segment_analysis",
+        [
+            "revenue of the {seg} segment",
+            "how much the {seg} business line brought in",
+            "the {seg} division's turnover",
+            "{seg} segment revenue",
+        ],
+    ),
+    "segment_margin": (
+        "segment_analysis",
+        [
+            "the {seg} segment's margin",
+            "how profitable the {seg} business line was relative to revenue",
+            "profitability of the {seg} division",
+            "{seg} segment result",
+        ],
+    ),
+    "segment_mix": (
+        "segment_analysis",
+        [
+            "business segment performance",
+            "how the business lines compare by revenue",
+            "segment mix",
+            "the split across divisions",
+        ],
+    ),
+}
+
+_BY_TYPE: dict[str, list[str]] = {}
+for _name, (_ctype, _) in _METRICS.items():
+    _BY_TYPE.setdefault(_ctype, []).append(_name)
+
+_Q_TEMPLATES = [
+    "What was {bank}'s {metric} in {period}?",
+    "How much was {bank}'s {metric} for {period}?",
+    "How big was {bank}'s {metric} in {period}?",
+    "Tell me {bank}'s {metric} for {period}.",
+    "{bank} {metric} {period}",
+    "Report {bank}'s {metric} in {period}.",
+    "{metric} of {bank} in {period}",
+    "What amount of {metric} did {bank} report for {period}?",
+    "What was the exact figure of {bank}'s {metric} in {period}?",
+    "How did {bank}'s {metric} perform in {period}?",
+    "What rate of growth did {bank}'s {metric} achieve in {period}?",
+    "In absolute terms, how much {metric} did {bank} make in {period}?",
+]
+
+# Chunk-type-specific question shapes: these mention a concept tied to one
+# statement type (deposits, segments, per-share earnings) and must only
+# ever pair with that type's document — a generic draw could otherwise
+# teach "money parked" ≈ a ratios chunk.
+_Q_EXTRAS: dict[str, list[str]] = {
+    "profitability_analysis": [
+        "What fraction of income did {bank}'s {metric} make up in {period}?",
+        "How profitable was {bank} relative to its income in {period}?",
+    ],
+    "balance_sheet_analysis": [
+        "How much had customers parked with {bank} as of {period}?",
+        "How large was {bank}'s balance sheet in {period}?",
+    ],
+    "financial_ratios": [
+        "What did {bank} earn per share in {period}?",
+        "How much were {bank}'s earnings per share in {period}?",
+    ],
+    "segment_analysis": [
+        "Order {bank}'s business lines by revenue in {period}.",
+        "Which segment contributed most to {bank}'s revenue in {period}?",
+        "How did {bank}'s divisions compare in {period}?",
+    ],
+}
+
+_TREND_TEMPLATES = [
+    "How did {bank}'s {metric} change across FY{year}?",
+    "Describe how {bank}'s {metric} moved over FY{year}'s four quarters.",
+    "What was the trend in {bank}'s {metric} during FY{year}?",
+    "How did {bank}'s {metric} develop across FY{year}?",
+    "When during FY{year} was {bank}'s {metric} highest?",
+    "Which quarter of FY{year} had the best {metric} for {bank}?",
+    "How did {bank}'s {metric} evolve from Q1 to Q4 of FY{year}?",
+    "How did {bank}'s {metric} grow between the first and fourth quarters of FY{year}?",
+    "What was the average {metric} of {bank} across all quarters of FY{year}?",
+    "Which quarter showed the most improvement in {bank}'s {metric} during FY{year}?",
+    "When was {bank}'s {metric} at its peak throughout FY{year}?",
+    "In which quarter of FY{year} was {bank}'s {metric} smallest?",
+    "Compare {bank}'s {metric} between all quarters of FY{year}.",
+    "How much did {bank}'s {metric} expand from Q1 FY{year} to Q4 FY{year}?",
+    "What was the absolute difference in {bank}'s {metric} from Q2 FY{year} to Q3 FY{year}?",
+    "Rank the quarters of FY{year} by {bank}'s {metric}, highest to lowest.",
+]
+
+_TREND_EXTRAS: dict[str, list[str]] = {
+    "segment_analysis": [
+        "Which of {bank}'s segments were most volatile in FY{year}?",
+        "What percentage contribution did each segment make to {bank}'s totals in FY{year}?",
+        "Which business line's profitability bounced around the most for {bank} during FY{year}?",
+    ],
+    "profitability_analysis": [
+        "How did {bank}'s expense-to-income relationship develop across FY{year}?",
+        "Which quarter of FY{year} was most lucrative for {bank} relative to income?",
+    ],
+}
+
+# Function/comparison words the vocabulary must carry as single tokens even
+# when no template instance in a given sample happens to use them — an OOV
+# question word otherwise decomposes into character pieces that dilute mean
+# pooling with noise.
+VOCAB_SEED_WORDS = (
+    "from all most and showed were rate amount grow between evolve year "
+    "throughout average its rates vs absolute percentage difference "
+    "quarterly achieve peak contributed terms improvement contribution "
+    "ranking volatile lowest perform figure margins totals make as "
+    "fraction expand corporate month stretch lucrative order each bounced "
+    "around smallest what was the in for of how much did report tell me "
+    "which when where why compare versus against highest best worst "
+    "biggest largest show give state calculate compute value number "
+    "moved change trend during across over quarters fiscal please"
+).split()
+
+
+def _period_phrase(q: int, year: int, r) -> str:
+    forms = [
+        f"Q{q} FY{year}",
+        f"Q{q}_FY{year}",
+        f"the {_ORDINALS[q]} quarter of FY{year}",
+        f"the {_ORDINALS[q]} quarter of fiscal {year}",
+        f"{_ORDINALS[q]} quarter FY{year}",
+        f"the three months of Q{q} FY{year}",
+    ]
+    return forms[int(r.integers(0, len(forms)))]
+
+
+def _bank_phrase(bank: str, r) -> str:
+    short = bank.replace(" Limited", "")
+    forms = [bank, short, short.split()[0] if short.split()[0].isupper() else short]
+    return forms[int(r.integers(0, len(forms)))]
+
+
+def _metric_phrase(metric: str, r) -> str:
+    _, phrasings = _METRICS[metric]
+    p = phrasings[int(r.integers(0, len(phrasings)))]
+    if "{seg}" in p:
+        p = p.format(seg=_SEGMENTS[int(r.integers(0, len(_SEGMENTS)))].lower())
+    return p
+
+
+_TEMPLATE_FNS = {ctype: fn for ctype, fn, _ in _TEMPLATES}
+
+
+def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
+    """One (query, document, scope_cell) sample.
+
+    ``mode='quarter'``: quarter-specific query; cell = (bank, year, q, type).
+    ``mode='scope'``: FY-wide trend query;     cell = (bank, year, type).
+    """
+    bank = BANKS[int(r.integers(0, len(BANKS)))]
+    year = _YEARS[int(r.integers(0, len(_YEARS)))]
+    q = int(r.integers(1, 5))
+    metric = list(_METRICS)[int(r.integers(0, len(_METRICS)))]
+    ctype, _ = _METRICS[metric]
+    period = f"Q{q}_FY{year}"
+    doc = _TEMPLATE_FNS[ctype](bank, period, r)
+    if r.uniform() < 0.5:
+        # Wording-invariance augmentation: the doc side the encoder sees is
+        # a reworded variant (synonym swaps, dropped/injected lines,
+        # perturbed figures) of a chunk with the same scope — same machinery
+        # as the eval's reword tamper tier.
+        doc = _reword(doc, r)
+    if mode == "quarter":
+        extras = _Q_EXTRAS.get(ctype, [])
+        pool = extras if (extras and r.uniform() < 0.2) else _Q_TEMPLATES
+        tmpl = pool[int(r.integers(0, len(pool)))]
+        query = tmpl.format(
+            bank=_bank_phrase(bank, r),
+            metric=_metric_phrase(metric, r),
+            period=_period_phrase(q, year, r),
+        )
+        cell = (bank, year, q, ctype)
+    else:
+        extras = _TREND_EXTRAS.get(ctype, [])
+        pool = extras if (extras and r.uniform() < 0.2) else _TREND_TEMPLATES
+        tmpl = pool[int(r.integers(0, len(pool)))]
+        query = tmpl.format(bank=_bank_phrase(bank, r), metric=_metric_phrase(metric, r), year=year)
+        cell = (bank, year, ctype)
+    return query, doc, cell
+
+
+def pair_batch(r, batch_size: int, quarter_frac: float = 0.7) -> tuple[list[str], list[str]]:
+    """One batch of pairs with all-distinct scope cells (InfoNCE-safe).
+
+    A single batch is homogeneous in mode: mixing an FY-wide row with a
+    quarter-specific row of the same (bank, year, type) would make the
+    quarter row's doc a false negative for the FY row.
+    """
+    mode = "quarter" if r.uniform() < quarter_frac else "scope"
+    queries, docs, seen = [], [], set()
+    while len(queries) < batch_size:
+        query, doc, cell = make_pair(r, mode)
+        if cell in seen:
+            continue
+        seen.add(cell)
+        queries.append(query)
+        docs.append(doc)
+    return queries, docs
+
+
+def corpus_sample(n: int, seed: int = 0) -> list[str]:
+    """Deterministic text sample (docs + queries) for vocabulary building.
+
+    Includes the idiom lexicon (both sides) and the function-word seed list
+    repeated past any sane ``min_freq`` so every query-side word the domain
+    uses is a single vocabulary token."""
+    from .synonyms import LEXICON
+
+    r = np.random.default_rng(seed)
+    texts: list[str] = []
+    for _ in range(n):
+        mode = "quarter" if r.uniform() < 0.7 else "scope"
+        query, doc, _ = make_pair(r, mode)
+        texts.append(query)
+        texts.append(doc)
+    lexicon_text = " ".join(list(LEXICON.keys()) + list(LEXICON.values()))
+    seed_text = " ".join(VOCAB_SEED_WORDS)
+    texts.extend([lexicon_text, seed_text] * 5)
+    return texts

@@ -20,6 +20,28 @@ from .featurizer import fnv1a64
 
 PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
 _PUNCT_SPLIT = re.compile(r"(\W)")
+_COMMA_IN_NUMBER = re.compile(r"(?<=\d),(?=\d)")
+_NUMBER = re.compile(r"\d+(?:\.\d+)?")
+
+
+def number_shape(tok: str) -> str:
+    """Collapse data-value numbers to magnitude-shape tokens, keeping scope
+    numbers literal.
+
+    Mirrors the featurizer's retrieval-token rule
+    (``featurizer._is_retrieval_token``): decimal figures and long integers
+    are answer payload (₹ amounts, ratios) whose exact values carry no
+    retrieval signal and would explode the vocabulary; years (19xx/20xx) and
+    short integers (quarter digits, small counts) are genuine retrieval keys
+    and stay verbatim. Shape tokens are plain lowercase words so they
+    survive the punctuation split."""
+    if "." in tok:
+        return "numdec"
+    if len(tok) == 4 and tok[:2] in ("19", "20"):
+        return tok
+    if len(tok) <= 2:
+        return tok
+    return f"num{min(len(tok), 9)}"
 
 
 class WordPieceTokenizer:
@@ -29,6 +51,7 @@ class WordPieceTokenizer:
         vocab_size: int = 30522,
         max_len: int = 256,
         lowercase: bool = True,
+        collapse_numbers: bool = False,
     ):
         if vocab is not None and not vocab:
             raise ValueError("empty WordPiece vocab (unreadable vocab.txt?)")
@@ -36,6 +59,7 @@ class WordPieceTokenizer:
         self.vocab_size = vocab_size if vocab is None else max(vocab.values()) + 1
         self.max_len = max_len
         self.lowercase = lowercase
+        self.collapse_numbers = collapse_numbers
         if vocab is not None:
             self.pad_id = vocab.get(PAD, 0)
             self.unk_id = vocab.get(UNK, 100)
@@ -65,6 +89,12 @@ class WordPieceTokenizer:
     def _basic_tokens(self, text: str) -> list[str]:
         if self.lowercase:
             text = text.lower()
+        if self.collapse_numbers:
+            # Comma-grouped amounts become one number token first, then
+            # every number maps to its shape BEFORE the punctuation split —
+            # decimals would otherwise fragment at the '.'.
+            text = _COMMA_IN_NUMBER.sub("", text)
+            text = _NUMBER.sub(lambda m: f" {number_shape(m.group(0))} ", text)
         out = []
         for piece in text.split():
             for frag in _PUNCT_SPLIT.split(piece):
@@ -127,3 +157,64 @@ class WordPieceTokenizer:
             ids[row, : len(e)] = e
             mask[row, : len(e)] = 1
         return ids, mask
+
+    def save_vocab(self, path: str) -> None:
+        """Write ``vocab.txt`` (line number = id) — the format
+        :meth:`from_vocab_file` reads back."""
+        assert self.vocab is not None, "hash-bucket tokenizer has no vocab to save"
+        inv = sorted(self.vocab.items(), key=lambda kv: kv[1])
+        if [i for _, i in inv] != list(range(len(inv))):
+            raise ValueError("vocab ids must be contiguous 0..n-1 to save as vocab.txt")
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, _ in inv:
+                f.write(tok + "\n")
+
+
+def build_wordpiece_vocab(
+    texts: Sequence[str],
+    vocab_size: int = 8192,
+    min_freq: int = 2,
+    collapse_numbers: bool = True,
+    lowercase: bool = True,
+) -> dict[str, int]:
+    """Build a domain WordPiece vocabulary from a corpus (deterministic).
+
+    Zero-egress images ship no pretrained vocab (SURVEY.md §7 parity note),
+    so the trained encoder's vocabulary is learned from the domain corpus
+    itself: all words above ``min_freq`` (most frequent first), plus full
+    single-character coverage with ``##`` continuations so greedy WordPiece
+    never emits [UNK] for ASCII text — out-of-vocabulary words decompose
+    into character pieces instead of collapsing to one unknown id.
+    """
+    probe = WordPieceTokenizer(
+        vocab=None, lowercase=lowercase, collapse_numbers=collapse_numbers
+    )
+    counts: dict[str, int] = {}
+    chars: set[str] = set()
+    for text in texts:
+        for tok in probe._basic_tokens(text):
+            counts[tok] = counts.get(tok, 0) + 1
+            chars.update(tok)
+    vocab: dict[str, int] = {}
+    for special in (PAD, UNK, CLS, SEP):
+        vocab[special] = len(vocab)
+    # Character floor: every single char and its continuation piece.
+    for ch in sorted(chars):
+        for piece in (ch, "##" + ch):
+            if piece not in vocab:
+                vocab[piece] = len(vocab)
+    # Scope-number literals the corpus may not cover densely but queries
+    # use (years / quarter digits pass number_shape verbatim).
+    if collapse_numbers:
+        for y in range(1990, 2041):
+            vocab.setdefault(str(y), len(vocab))
+        for d in range(0, 100):
+            vocab.setdefault(str(d), len(vocab))
+        for shape in ("numdec", "num3", "num4", "num5", "num6", "num7", "num8", "num9"):
+            vocab.setdefault(shape, len(vocab))
+    for tok, freq in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+        if len(vocab) >= vocab_size:
+            break
+        if freq >= min_freq:
+            vocab.setdefault(tok, len(vocab))
+    return vocab

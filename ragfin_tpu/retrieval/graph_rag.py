@@ -366,11 +366,14 @@ class GraphQueryEngine:
         out = [vals[q] for q in (q_from, q_to) if q in vals]
         if q_from in vals and q_to in vals:
             # .get(key, default) returns a STORED None without falling back
-            # (_rows_to_dicts emits value=None for NaN facts) — coalesce
-            # explicitly, and require both endpoints numeric.
-            v0 = vals[q_from].get("value") or vals[q_from].get("revenue")
-            v1 = vals[q_to].get("value") or vals[q_to].get("revenue")
-            if v0 and v1 is not None:
+            # (_rows_to_dicts emits value=None for NaN facts) — coalesce on
+            # None explicitly: `or` would treat a legitimately stored 0.0 as
+            # missing and silently compute growth against the revenue field.
+            v0 = vals[q_from].get("value")
+            v0 = vals[q_from].get("revenue") if v0 is None else v0
+            v1 = vals[q_to].get("value")
+            v1 = vals[q_to].get("revenue") if v1 is None else v1
+            if v0 is not None and v0 != 0 and v1 is not None:
                 out.append(
                     {
                         "name": name,

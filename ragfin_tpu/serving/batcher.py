@@ -52,6 +52,12 @@ class QueryBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
         self._stop = threading.Event()
+        # Guards the stop-flag-check + put pair in _enqueue against stop()'s
+        # flag set: once stop() has set the flag under this lock, any
+        # concurrent enqueue has either already landed its put (the final
+        # drain resolves it) or will observe the flag and fail fast — no
+        # item can slip in after the drain and hang its caller.
+        self._enqueue_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
 
     # --- lifecycle --------------------------------------------------------
@@ -63,7 +69,8 @@ class QueryBatcher:
         return self
 
     def stop(self) -> None:
-        self._stop.set()
+        with self._enqueue_lock:
+            self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
         # Second drain pass: an item enqueued between a caller's stop-flag
@@ -84,12 +91,13 @@ class QueryBatcher:
 
     # --- client API -------------------------------------------------------
     def _enqueue(self, item: "_WorkItem") -> None:
-        if self._stop.is_set():
-            # A put after the collector's shutdown drain would never be
-            # resolved and the caller would hang to its timeout; fail fast
-            # with the same error the drain uses.
-            raise RuntimeError("batcher stopped")
-        self._queue.put(item)
+        with self._enqueue_lock:
+            if self._stop.is_set():
+                # A put after the collector's shutdown drain would never be
+                # resolved and the caller would hang to its timeout; fail
+                # fast with the same error the drain uses.
+                raise RuntimeError("batcher stopped")
+            self._queue.put(item)
 
     def search(self, query: str, top_k: int = 3, timeout: Optional[float] = 30.0):
         """Blocking single-query search through the batcher."""

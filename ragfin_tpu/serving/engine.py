@@ -124,9 +124,12 @@ class RagFinEngine:
         if self.settings.embed_backend != "hashed":
             from ..models.embedder import make_embedder
 
-            embedder = make_embedder(
-                self.settings.embed_backend, checkpoint=self.settings.minilm_checkpoint
+            checkpoint = (
+                self.settings.trained_checkpoint
+                if self.settings.embed_backend == "trained"
+                else self.settings.minilm_checkpoint
             )
+            embedder = make_embedder(self.settings.embed_backend, checkpoint=checkpoint)
         dense = DeviceVectorIndex.build(
             self.chunks,
             embedder=embedder,

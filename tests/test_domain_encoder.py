@@ -1,0 +1,219 @@
+"""Tests for the from-scratch in-domain semantic encoder stack (C4/T1):
+vocab building, pair generation, training loop, checkpoint IO, embedder
+backend wiring."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ragfin_tpu.models.pairgen import (
+    VOCAB_SEED_WORDS,
+    corpus_sample,
+    make_pair,
+    pair_batch,
+)
+from ragfin_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    build_wordpiece_vocab,
+    number_shape,
+)
+
+
+class TestNumberShape:
+    def test_scope_numbers_stay_literal(self):
+        assert number_shape("2024") == "2024"
+        assert number_shape("1999") == "1999"
+        assert number_shape("3") == "3"
+        assert number_shape("42") == "42"
+
+    def test_data_values_collapse(self):
+        assert number_shape("44.0") == "numdec"
+        assert number_shape("10636") == "num5"
+        assert number_shape("123456789012") == "num9"
+        assert number_shape("800") == "num3"
+
+    def test_collapse_in_tokenizer(self):
+        tok = WordPieceTokenizer(vocab=None, collapse_numbers=True)
+        toks = tok._basic_tokens("NET PROFIT: ₹10,636.5 crore in Q1 FY2024")
+        assert "numdec" in toks
+        assert "2024" in " ".join(toks) or "fy2024" in toks
+        assert "10636" not in toks  # comma-collapsed then shaped
+
+    def test_no_collapse_default(self):
+        tok = WordPieceTokenizer(vocab=None)
+        toks = tok._basic_tokens("profit 10,636.5")
+        assert "numdec" not in toks
+
+
+class TestVocabBuild:
+    def test_deterministic(self):
+        texts = corpus_sample(50, seed=3)
+        v1 = build_wordpiece_vocab(texts, vocab_size=4096)
+        v2 = build_wordpiece_vocab(texts, vocab_size=4096)
+        assert v1 == v2
+
+    def test_contains_domain_and_seed_words(self):
+        vocab = build_wordpiece_vocab(corpus_sample(200, seed=0), vocab_size=8192)
+        # number collapsing splits "fy2024" into "fy" + the year literal
+        for word in ("profit", "icici", "fy", "2024", "lucrative", "parked", "between"):
+            assert word in vocab, word
+        # char floor: ascii letters + continuations always present
+        assert "a" in vocab and "##a" in vocab
+
+    def test_specials_first(self):
+        vocab = build_wordpiece_vocab(["alpha beta"], vocab_size=256)
+        assert vocab["[PAD]"] == 0
+        assert vocab["[UNK]"] == 1
+        assert vocab["[CLS]"] == 2
+        assert vocab["[SEP]"] == 3
+
+    def test_save_load_roundtrip(self, tmp_path):
+        vocab = build_wordpiece_vocab(corpus_sample(20, seed=1), vocab_size=2048)
+        tok = WordPieceTokenizer(vocab=vocab, collapse_numbers=True)
+        path = str(tmp_path / "vocab.txt")
+        tok.save_vocab(path)
+        tok2 = WordPieceTokenizer.from_vocab_file(path, collapse_numbers=True)
+        assert tok2.vocab == vocab
+        text = "ICICI Bank net profit Q3 FY2024 ₹9,648 crore"
+        assert tok.encode(text) == tok2.encode(text)
+
+    def test_oov_words_decompose_not_unk(self):
+        vocab = build_wordpiece_vocab(corpus_sample(50, seed=0), vocab_size=4096)
+        tok = WordPieceTokenizer(vocab=vocab, collapse_numbers=True)
+        ids = tok.encode("xylophone zeitgeist")
+        assert tok.unk_id not in ids
+
+
+class TestPairGen:
+    def test_pair_shapes(self):
+        r = np.random.default_rng(0)
+        q, d, cell = make_pair(r, "quarter")
+        assert isinstance(q, str) and isinstance(d, str)
+        assert len(cell) == 4
+        q, d, cell = make_pair(r, "scope")
+        assert len(cell) == 3
+
+    def test_batch_cells_distinct(self):
+        r = np.random.default_rng(7)
+        for _ in range(5):
+            queries, docs = pair_batch(r, 32)
+            assert len(queries) == 32 and len(docs) == 32
+            assert len(set(docs)) == 32  # distinct cells => distinct docs
+
+    def test_doc_scope_matches_query_tokens(self):
+        # A quarter-mode doc must carry the quarter/year scope its query
+        # names (the positive pair is scope-consistent by construction).
+        r = np.random.default_rng(1)
+        for _ in range(20):
+            q, d, (bank, year, quarter, ctype) = make_pair(r, "quarter")
+            assert f"Q{quarter}_FY{year}" in d
+            assert bank.split()[0] in d
+
+    def test_corpus_sample_deterministic(self):
+        assert corpus_sample(10, seed=5) == corpus_sample(10, seed=5)
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    from ragfin_tpu.models.domain_encoder import train_domain_encoder
+
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    result = train_domain_encoder(
+        steps=8,
+        batch_size=8,
+        num_layers=2,
+        vocab_budget=2048,
+        query_len=32,
+        doc_len=64,
+        scan_chunk=4,
+        warmup=2,
+        ckpt_dir=d,
+        log=lambda *a, **k: None,
+    )
+    return d, result
+
+
+class TestTraining:
+    def test_loss_decreases(self, tiny_checkpoint):
+        _, result = tiny_checkpoint
+        hist = result["history"]
+        assert hist[-1]["loss_mean"] < hist[0]["loss_mean"]
+
+    def test_checkpoint_roundtrip(self, tiny_checkpoint):
+        from ragfin_tpu.models.domain_encoder import load_encoder_checkpoint
+
+        d, _ = tiny_checkpoint
+        params, tok, cfg, meta = load_encoder_checkpoint(d)
+        assert cfg.num_layers == 2
+        assert meta["steps"] == 8
+        assert tok.collapse_numbers is True
+        # f16 storage: loaded leaves are f32 again
+        leaf = params["params"]["word_embeddings"]["embedding"]
+        assert leaf.dtype == np.float32
+
+    def test_trained_embedder(self, tiny_checkpoint):
+        from ragfin_tpu.models.embedder import TrainedEmbedder, make_embedder
+
+        d, _ = tiny_checkpoint
+        emb = make_embedder("trained", checkpoint=d)
+        assert isinstance(emb, TrainedEmbedder)
+        v = emb.encode_texts(["ICICI net profit Q1 FY2024", "HDFC deposits"])
+        assert v.shape == (2, 384)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+        # determinism
+        v2 = emb.encode_texts(["ICICI net profit Q1 FY2024", "HDFC deposits"])
+        np.testing.assert_allclose(v, v2, atol=0)
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        from ragfin_tpu.models.embedder import make_embedder
+
+        with pytest.raises(Exception):
+            make_embedder("trained", checkpoint=str(tmp_path / "nope"))
+
+    def test_index_build_with_trained_backend(self, tiny_checkpoint):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.models.embedder import make_embedder
+
+        d, _ = tiny_checkpoint
+        chunks = [
+            IndexedChunk(
+                id=f"c{i}", text=t, period="Q1_FY2024", chunk_type="profitability_analysis",
+                statement_type="consolidated", primary_value=1.0, company="ICICI Bank",
+            )
+            for i, t in enumerate(
+                ["ICICI Bank net profit analysis", "HDFC Bank deposits analysis"]
+            )
+        ]
+        idx = DeviceVectorIndex.build(chunks, embedder=make_embedder("trained", checkpoint=d))
+        hits = idx.search_texts(["net profit"], top_k=2)
+        assert len(hits[0]) == 2
+        # featurizer-less backend: sparse rerank and expansion are no-ops
+        assert idx.featurizer is None
+
+
+class TestSettingsWiring:
+    def test_validate_accepts_trained_with_checkpoint(self, tiny_checkpoint, monkeypatch):
+        from ragfin_tpu.config.settings import Settings
+
+        d, _ = tiny_checkpoint
+        s = Settings(embed_backend="trained", trained_checkpoint=d)
+        assert not [i for i in s.validate() if "trained" in i]
+
+    def test_validate_flags_missing_checkpoint(self, tmp_path):
+        from ragfin_tpu.config.settings import Settings
+
+        s = Settings(embed_backend="trained", trained_checkpoint=str(tmp_path / "missing"))
+        assert any("no checkpoint" in i for i in s.validate())
+
+    def test_default_backend_tracks_packaged_checkpoint(self):
+        from ragfin_tpu.config import settings as mod
+        from ragfin_tpu.models.domain_encoder import DEFAULT_CKPT_DIR
+
+        expected = (
+            "trained"
+            if os.path.exists(os.path.join(DEFAULT_CKPT_DIR, "config.json"))
+            else "hashed"
+        )
+        assert mod._default_backend() == expected

@@ -213,27 +213,46 @@ _NOISE_LINES = [
 ]
 
 
+def _format_scaled(tok: str, factor: float) -> str:
+    """``tok * factor`` printed in the comma-grouped / decimal formatting of
+    the original token."""
+    val = float(tok.replace(",", ""))
+    scaled = val * factor
+    if "." in tok:
+        d = len(tok.split(".")[1])
+        # Comma AND decimal ("10,636.5") keeps both — dropping the
+        # grouping would change the number-token shape, not just the
+        # value, making dupe-tier forgeries less exact duplicates.
+        return f"{scaled:,.{d}f}" if "," in tok else f"{scaled:.{d}f}"
+    if "," in tok:
+        return f"{scaled:,.0f}"
+    # Plain integer: keep magnitude class (quarter digits, years and
+    # other scope tokens are NOT perturbed — see _perturb_figures).
+    return f"{max(scaled, 0):.0f}"
+
+
 def _perturb_numbers(text: str, r) -> str:
-    """Scale every numeric literal by ~U(0.8, 1.25), preserving the
-    comma-grouped / decimal formatting of the original."""
+    """Scale every numeric literal by ~U(0.8, 1.25) INDEPENDENTLY."""
+    return _NUM.sub(lambda m: _format_scaled(m.group(0), r.uniform(0.8, 1.25)), text)
 
-    def repl(m):
-        tok = m.group(0)
-        val = float(tok.replace(",", ""))
-        scaled = val * r.uniform(0.8, 1.25)
-        if "." in tok:
-            d = len(tok.split(".")[1])
-            # Comma AND decimal ("10,636.5") keeps both — dropping the
-            # grouping would change the number-token shape, not just the
-            # value, making dupe-tier forgeries less exact duplicates.
-            return f"{scaled:,.{d}f}" if "," in tok else f"{scaled:.{d}f}"
-        if "," in tok:
-            return f"{scaled:,.0f}"
-        # Plain integer: keep magnitude class (quarter digits, years and
-        # other scope tokens are NOT perturbed — see _perturb_figures).
-        return f"{max(scaled, 0):.0f}"
 
-    return _NUM.sub(repl, text)
+# "₹10,636.5 crore" / "₹15.22 per share" — currency amounts only; used by
+# the scale-consistent forger, which must leave percentages and ratios
+# untouched (they are scale-invariant and would otherwise break).
+_CURRENCY = _re.compile(r"(₹\s*)([\d,]+(?:\.\d+)?)")
+
+
+def _scale_uniformly(text: str, r) -> str:
+    """The SMART forger (round-3 verdict, Weak #1): multiply every ₹ amount
+    in the chunk by ONE per-chunk factor ~U(0.7, 1.4), leaving every
+    percentage, ratio, and count untouched. All of the document's
+    self-declared arithmetic (shares x/b*100≈p, margin triples, subset
+    sums, EPS band) is scale-INVARIANT, so this forgery passes every
+    in-text consistency check with score 1.0 by construction — the attack
+    class the single-document integrity defense is provably blind to.
+    Detectable only via CROSS-chunk evidence (retrieval/conflict.py)."""
+    factor = r.uniform(0.7, 1.4)
+    return _CURRENCY.sub(lambda m: m.group(1) + _format_scaled(m.group(2), factor), text)
 
 
 def _protect_scope_tokens(fn):
@@ -310,6 +329,10 @@ def generate_inscope_distractors(
             text = _reword(src.text, r)
         elif tier == "dupe":
             text = _perturb_figures(src.text, r)
+        elif tier == "scaled":
+            # Scope tokens need no protection here: _scale_uniformly only
+            # touches ₹-prefixed amounts, and no scope token is ₹-prefixed.
+            text = _scale_uniformly(src.text, r)
         else:
             raise ValueError(f"unknown tier {tier!r}")
         out.append(

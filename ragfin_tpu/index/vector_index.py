@@ -32,12 +32,16 @@ from ..ops.topk import cosine_topk
 class SearchHit:
     """One search result row (Milvus hit parity: score + entity fields)."""
 
-    __slots__ = ("score", "record", "rank")
+    __slots__ = ("score", "record", "rank", "conflict")
 
     def __init__(self, score: float, record: IndexedChunk, rank: int):
         self.score = score
         self.record = record
         self.rank = rank
+        # Set by conflict detection (retrieval/conflict.py) when this hit's
+        # (company, period, chunk_type) scope holds mutually-contradictory
+        # figure sets in the shortlist; None = not analyzed.
+        self.conflict = None
 
     @property
     def id(self) -> str:
@@ -54,6 +58,8 @@ class SearchHit:
         }
         if include_text:
             out["text"] = self.record.text
+        if self.conflict is not None:
+            out["conflict"] = self.conflict
         return out
 
 

@@ -143,7 +143,12 @@ class TrainedEmbedder:
 
     backend = "trained"
 
-    def __init__(self, checkpoint: Optional[str] = None, batch_size: int = 256):
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        batch_size: int = 256,
+        pad_multiple: int = 16,
+    ):
         from .domain_encoder import DEFAULT_CKPT_DIR, load_encoder_checkpoint
 
         self.checkpoint = checkpoint or DEFAULT_CKPT_DIR
@@ -152,6 +157,11 @@ class TrainedEmbedder:
         )
         self.dim = self.config.hidden_size
         self.batch_size = batch_size
+        # Bulk corpus encodes set pad_multiple = max_position so every batch
+        # compiles to ONE [B, S] shape (remote compile is the expensive
+        # resource); interactive queries keep the default 16 for short-seq
+        # speed.
+        self.pad_multiple = pad_multiple
         self._apply = _jit_minilm_apply(self.config)
 
     def fit(self, texts: Sequence[str]) -> "TrainedEmbedder":
@@ -161,8 +171,17 @@ class TrainedEmbedder:
         out = []
         for start in range(0, len(texts), self.batch_size):
             batch = list(texts[start : start + self.batch_size])
-            ids, mask = self.tokenizer.encode_batch(batch)
-            out.append(np.asarray(self._apply(self.params, ids, mask), np.float32))
+            ids, mask = self.tokenizer.encode_batch(batch, pad_multiple=self.pad_multiple)
+            if len(batch) < self.batch_size and len(texts) > self.batch_size:
+                # Pad the tail batch to the full batch shape: one more row
+                # of compile cache hits instead of one compile per tail size.
+                pad = self.batch_size - len(batch)
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+                emb = np.asarray(self._apply(self.params, ids, mask), np.float32)[: len(batch)]
+            else:
+                emb = np.asarray(self._apply(self.params, ids, mask), np.float32)
+            out.append(emb)
         return np.concatenate(out, axis=0) if out else np.zeros((0, self.dim), np.float32)
 
     def state_dict(self) -> dict:
@@ -194,7 +213,7 @@ def make_embedder(backend: str = "hashed", **kwargs) -> Embedder:
     known = {
         "hashed": ("vocab_size", "dim", "seed", "featurizer", "encoder"),
         "minilm": ("checkpoint", "seed", "batch_size", "max_len"),
-        "trained": ("checkpoint", "batch_size"),
+        "trained": ("checkpoint", "batch_size", "pad_multiple"),
     }
     if backend not in known:
         raise ValueError(f"unknown embed backend: {backend}")

@@ -301,7 +301,15 @@ def pair_batch(r, batch_size: int, quarter_frac: float = 0.7) -> tuple[list[str]
     """
     mode = "quarter" if r.uniform() < quarter_frac else "scope"
     queries, docs, seen = [], [], set()
+    attempts = 0
     while len(queries) < batch_size:
+        attempts += 1
+        if attempts > 60 * batch_size:
+            # scope mode has |banks|x|years|x|types| = ~448 distinct cells;
+            # a batch_size near/above that would spin forever here.
+            raise ValueError(
+                f"batch_size={batch_size} too large for distinct {mode}-mode scope cells"
+            )
         query, doc, cell = make_pair(r, mode)
         if cell in seen:
             continue

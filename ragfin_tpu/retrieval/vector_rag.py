@@ -42,6 +42,7 @@ class VectorRAG:
         provider: Optional[LLMProvider] = None,
         smart_retrieval: bool = True,
         integrity_weight: Optional[float] = None,
+        conflict_detection: bool = True,
     ):
         self.index = index
         self.provider = provider
@@ -72,6 +73,13 @@ class VectorRAG:
         # the engine so concurrent single-query callers share device
         # dispatches. Single-query entry points route through it when set.
         self.batcher = None
+        # Conflict detection (retrieval/conflict.py): flag shortlists whose
+        # scoped candidates carry mutually-contradictory figure sets — the
+        # observable that scale-consistent tampering and fabrication cannot
+        # avoid. Annotation only changes metadata + the abstention decision,
+        # never ranking. Cache keyed by immutable chunk id.
+        self.conflict_detection = conflict_detection
+        self._figure_cache: dict = {}
 
     def _search_texts(self, queries, top_k: int):
         if self._searcher is not None:
@@ -96,10 +104,29 @@ class VectorRAG:
             self._analyst = AnalyticalAnswerer(self.index.records)
         return self._analyst
 
+    def _annotate_conflicts(self, hits) -> list[tuple]:
+        """Mark hits whose scope is contested; returns the contested scopes
+        (empty when detection is off or nothing conflicts)."""
+        if not self.conflict_detection or not hits:
+            return []
+        from .conflict import detect_conflicts
+
+        scopes = detect_conflicts(hits, cache=self._figure_cache)
+        contested = [key for key, info in scopes.items() if info["conflict"]]
+        if contested:
+            contested_set = set(contested)
+            for h in hits:
+                rec = h.record
+                if (rec.company, rec.period, rec.chunk_type) in contested_set:
+                    h.conflict = True
+            METRICS.incr("vector.conflicts_flagged")
+        return contested
+
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
         with METRICS.timed("vector.search"):
             hits = self._search_one(query, top_k)
+        self._annotate_conflicts(hits)
         return [h.to_dict() for h in hits]
 
     def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
@@ -116,12 +143,38 @@ class VectorRAG:
             # exists to coalesce them) and stall every other async tool
             # behind a single degraded-tunnel query. Run it off-loop.
             hits = await asyncio.to_thread(self._search_one, question, top_k)
+        contested = self._annotate_conflicts(hits)
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,
             "contexts": [h.to_dict(include_text=True) for h in hits],
             "num_contexts": len(hits),
         }
+        if contested:
+            result["conflict"] = True
+            result["conflicted_scopes"] = [
+                {"company": c, "period": p, "chunk_type": t} for c, p, t in contested
+            ]
+        if hits and hits[0].conflict and self.provider is None:
+            # The top-ranked evidence sits in a contested bucket: the corpus
+            # holds mutually-contradictory figure sets for that exact scope,
+            # and no ranking can certify the authentic one (see
+            # retrieval/conflict.py). Abstain instead of confidently serving
+            # a possible forgery — the honest production behavior the
+            # reference's trust-the-store fusion lacks (graph_cons.py:268).
+            scope = contested[0]
+            result.update(
+                answer=(
+                    "Cannot answer reliably: the indexed corpus contains "
+                    f"conflicting figure sets for {scope[0]} {scope[1]} "
+                    f"({scope[2]}). The retrieved candidates disagree on "
+                    "overlapping line items beyond tolerance, which indicates "
+                    "tampered or fabricated data for this scope. Resolve "
+                    "provenance before trusting any figure from it."
+                ),
+                answer_mode="conflict",
+            )
+            return result
         if self.provider is not None:
             try:
                 answer = await self.provider.generate_content(

@@ -186,6 +186,136 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
 
+    # ---- SCALED tamper arms (round-3 verdict #2): the smart forger --------
+    # One per-chunk factor on every ₹ amount; all in-text arithmetic is
+    # scale-invariant, so the single-document integrity defense is blind by
+    # construction (consistency = 1.0 for every forgery — verified in
+    # tests/test_conflict.py). What remains detectable is the cross-chunk
+    # observable: contested scopes (conflict flags + abstention) always, and
+    # continuity adjudication while authentic corroborators dominate.
+    if INSCOPE_N and os.environ.get("SCALED_ARMS", "1") == "1":
+        from ragfin_tpu.retrieval.conflict import (
+            ContinuityAdjudicatedSearch,
+            detect_conflicts,
+        )
+
+        def conflict_rate(searcher, questions, k=10):
+            """{'top': fraction whose TOP hit sits in a contested scope (the
+            abstention trigger — must be 0 on a clean corpus), 'any':
+            fraction with ANY contested scope in the shortlist (includes
+            genuinely-contradictory co-scoped distractor pairs — correct
+            data-quality detection, not a false flag)}."""
+            cache: dict = {}
+            flagged_any = flagged_top = 0
+            for q in questions:
+                hits = searcher.search_texts([q.question], top_k=k)[0]
+                scopes = detect_conflicts(hits, cache=cache)
+                contested = {k_ for k_, i in scopes.items() if i["conflict"]}
+                if contested:
+                    flagged_any += 1
+                if hits:
+                    r = hits[0].record
+                    if (r.company, r.period, r.chunk_type) in contested:
+                        flagged_top += 1
+            n = max(len(questions), 1)
+            return {"top": round(flagged_top / n, 4), "any": round(flagged_any / n, 4)}
+
+        # False-flag gate on the CLEAN 1M corpus first: flag rate must be 0.
+        clean_rate = conflict_rate(fs, qa)
+        out["results"]["conflict_flag_rate_clean"] = clean_rate
+        print(f"[{time.perf_counter()-t0:7.1f}s] conflict flags (clean 1M): {clean_rate}", flush=True)
+
+        ins = generate_inscope_distractors(real, INSCOPE_N, seed=13, tiers=("scaled",))
+        idx_sc = DeviceVectorIndex.build(list(real) + dis + ins)
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] scaled index built: {len(idx_sc):,}",
+            flush=True,
+        )
+        undefended = FilteredSearch(idx_sc)
+        integrity = FilteredSearch(idx_sc, consistency_weight=0.95)
+        run_arm("qa_k10_inscope_scaled_undefended", qa, undefended, 10)
+        run_arm("qa_k10_inscope_scaled_integrity", qa, integrity, 10)
+        out["results"]["conflict_flag_rate_scaled"] = conflict_rate(undefended, qa)
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] conflict flags (scaled): "
+            f"{out['results']['conflict_flag_rate_scaled']}",
+            flush=True,
+        )
+        out["results"]["conflict_flag_rate_fabrication"] = None  # set below if arm runs
+        del idx_sc, undefended, integrity
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+        # Fabrication conflict flags: regen forgeries are co-scoped
+        # internally-consistent contradictions — ranking is impossible
+        # (documented bound) but flagging is not.
+        ins_fab = generate_inscope_distractors(real, min(INSCOPE_N, 2000), seed=17, tiers=("regen",))
+        idx_fab = DeviceVectorIndex.build(list(real) + ins_fab)
+        out["results"]["conflict_flag_rate_fabrication"] = conflict_rate(
+            FilteredSearch(idx_fab), qa
+        )
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] conflict flags (fabrication): "
+            f"{out['results']['conflict_flag_rate_fabrication']}",
+            flush=True,
+        )
+        del idx_fab
+
+        # SPARSE adversary: 5 scaled forgeries per gold chunk, inserted
+        # BEFORE the gold rows and with ids that sort before gold's — the
+        # worst case for every tie-break an exact-duplicate attack hits
+        # (device row order and sparse-rerank id order both favor the
+        # forger here). Continuity adjudication is the defense with teeth
+        # in this regime: authentic corroborators still dominate.
+        import numpy as np
+
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.eval.distractors import _scale_uniformly
+
+        r = np.random.default_rng(23)
+        forged = []
+        for gi, g in enumerate(real):
+            for c in range(5):
+                forged.append(
+                    IndexedChunk(
+                        id=f"aa_forged_{gi:02d}_{c}",
+                        text=_scale_uniformly(g.text, r),
+                        period=g.period,
+                        chunk_type=g.chunk_type,
+                        statement_type=g.statement_type,
+                        primary_value=g.primary_value,
+                        company=g.company,
+                    )
+                )
+        idx_sp = DeviceVectorIndex.build(forged + list(real) + dis)
+        und = FilteredSearch(idx_sp)
+        run_arm("qa_k10_sparse_scaled_undefended", qa, und, 10)
+        run_arm(
+            "qa_k10_sparse_scaled_continuity",
+            qa,
+            ContinuityAdjudicatedSearch(und, idx_sp),
+            10,
+        )
+        out["results"]["sparse_scaled_notes"] = (
+            "5 scale-consistent forgeries per gold chunk (80 total), worst-"
+            "case insertion/id order so every exact-duplicate tie-break "
+            "favors the forger. Undefended = tie-break collapse; continuity "
+            "= best-effort cross-period adjudication "
+            "(retrieval/conflict.py) — a measurable recall improvement, NOT "
+            "recovery: scale-consistent forgeries are in-band "
+            "unidentifiable (authentic QoQ drift ~0.07 median |log ratio| "
+            "exceeds the flattest adversarial combo ~0.025; coherence "
+            "selection picks forged sets 40/40 — "
+            "scripts/scale_adjudication_probe.py). Scaling attacks "
+            "therefore join fabrication under the impossibility bound; the "
+            "production defense is conflict FLAGGING + abstention (rates "
+            "above; VectorRAG answer_mode='conflict')."
+        )
+        del idx_sp, und
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, "(with scaled/conflict arms)")
+
     try:
         _ivf_agreement(idx, qa, out)
     except Exception as e:

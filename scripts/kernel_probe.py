@@ -1052,6 +1052,171 @@ def adversarial_1m() -> None:
     print(line)
 
 
+def ceiling_q64(which: str) -> None:
+    """Ceiling decomposition AT THE PRODUCTION Q=64 bf16 CONFIG (round-3
+    verdict #5 — third ask): bn=6144, bq=64, corpus-major grid, fast tier
+    (bf16 queries), same DMA + MXU work as the shipped kernel with the merge
+    replaced by cheaper stand-ins. ``which``:
+      'mm'       = matmul only (DMA + MXU floor at this block shape);
+      'mask'     = + n_valid iota-row mask + broadcast select;
+      'rowmax'   = mask + row-max (minimum any exact selection must pay);
+      'prologue' = mask + row-max + row-argmax (the invariant merge's
+                   unconditional per-tile prologue).
+    kernel(5.13 ms) - prologue = while-loop insertion cost; prologue -
+    rowmax = the argmax pass; mm - ceiling_dma = MXU + grid-shape tax.
+    A numeric suffix overrides block_n (e.g. ``mm2048``)."""
+    import re as _re
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bn = 6144
+    m = _re.match(r"([a-z]+)(\d+)$", which)
+    if m:
+        which, bn = m.group(1), int(m.group(2))
+    n, q, bq = 1_000_000, 64, 64
+    npad = -(-n // bn) * bn
+
+    def kern(q_ref, ct_ref, out_ref, acc):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        rows = pl.ds(i * bq, bq)
+
+        @pl.when(j == 0)
+        def _init():
+            acc[rows] = jnp.zeros((bq, 1), jnp.float32)
+
+        scores = jnp.dot(q_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
+        if which == "mm":
+            acc[rows] = acc[rows] + scores[:, :1]
+        else:
+            col0 = j * bn
+            iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
+            scores = jnp.where((col0 + iota_row) < n, scores, T.NEG_INF)
+            if which == "mask":
+                acc[rows] = acc[rows] + scores[:, :1]
+            elif which == "rowmax":
+                acc[rows] = acc[rows] + jnp.max(scores, axis=-1, keepdims=True)
+            else:  # prologue
+                mx = jnp.max(scores, axis=-1, keepdims=True)
+                am = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+                acc[rows] = acc[rows] + mx + am[:, None]
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _flush():
+            out_ref[:] = acc[rows]
+
+    ct = jax.random.normal(jax.random.PRNGKey(0), (D, npad), jnp.bfloat16)
+    qb = jax.random.normal(jax.random.PRNGKey(1), (q, D), jnp.bfloat16)
+    np.asarray(ct[0, 0])
+
+    def one(qq, c):
+        return pl.pallas_call(
+            kern,
+            grid=(npad // bn, q // bq),
+            in_specs=[
+                pl.BlockSpec((bq, D), lambda j, i: (i, 0)),
+                pl.BlockSpec((D, bn), lambda j, i: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bq, 1), lambda j, i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((q, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((q, 1), jnp.float32)],
+        )(qq, c)
+
+    @jax.jit
+    def run(qs, c):
+        def step(carry, _):
+            return carry + one(qs, c)[0, 0], None
+        acc, _ = jax.lax.scan(step, 0.0, jnp.arange(8))
+        return acc
+
+    _stage(f"ceiling_q64_{which}: compiling (bn={bn})")
+    np.asarray(run(qb, ct))
+    t0 = time.perf_counter()
+    np.asarray(run(qb, ct))
+    dt = (time.perf_counter() - t0) / 8
+    line = f"ceiling_q64_{which} bf16 bn={bn} bq=64: {dt*1e3:.2f} ms/batch (Q=64)"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+def int8_quality(n: int, q: int = 64) -> None:
+    """Round-3 verdict #4: int8-tier retrieval quality vs the f32-exact
+    oracle AT SCALE, plus the f32 re-rank repair.
+
+    Synthetic random normalized vectors are the PESSIMISTIC case: cosine
+    scores concentrate in ~N(0, 1/sqrt(D)) so top-k margins at N=1e6+ are
+    the tightest this corpus family can produce (order statistics of a
+    million near-identical scores). Real embedding corpora (hashed or
+    trained, both heavily clustered) have wider margins; this measures the
+    lower bound. Reports:
+      recall@10  — |int8 top-10 ∩ exact top-10| / 10, mean over queries;
+      displ      — mean exact-score displacement sum(exact top-10 scores) -
+                   sum(exact scores of int8's picks) (0 = no quality loss
+                   even where ids differ);
+      rr_recall  — recall@10 after f32 re-rank of the int8 top-64 (gather
+                   64 corpus columns/query + one exact dot);
+      rr_ms      — wall cost of the re-rank pass (gather + [q,64,D] einsum).
+    """
+    k, kr = 10, 64
+    _stage(f"int8_quality N={n}: gen corpus")
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (D, n), jnp.bfloat16)
+        n2 = jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32)
+        return x * jax.lax.rsqrt(n2 + 1e-12)[None, :].astype(jnp.bfloat16)
+
+    ct = gen(jax.random.PRNGKey(0))
+    np.asarray(ct[0, 0])
+    c8, sc = quantize_corpus_t(ct)
+    np.asarray(c8[0, 0])
+    qs = jax.random.normal(jax.random.PRNGKey(1), (q, D), jnp.float32)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+
+    _stage("int8_quality: exact oracle (f32-exact fused tier)")
+    se, ie = T.cosine_topk_fused(qs, ct, k, precision="exact")
+    se, ie = np.asarray(se), np.asarray(ie)
+    _stage("int8_quality: int8 top-64")
+    s8, i8 = T.cosine_topk_fused_int8(qs, c8, sc, kr)
+    s8, i8 = np.asarray(s8), np.asarray(i8)
+
+    # Exact f32 scores of the int8 candidates: gather kr columns per query
+    # (q*kr indices — small enough to avoid the 10M-index gather pathology)
+    # and one [q, kr, D] x [q, D] contraction at f32.
+    @jax.jit
+    def exact_rerank(ids, qs, c):
+        cols = jnp.take(c, ids.reshape(-1), axis=1)  # [D, q*kr] bf16
+        cols = cols.reshape(D, q, kr).astype(jnp.float32)
+        return jnp.einsum("qd,dqk->qk", qs, cols)
+
+    t0 = time.perf_counter()
+    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
+    rr_ms_cold = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
+    rr_ms = (time.perf_counter() - t0) * 1e3
+
+    recalls, rr_recalls, displ = [], [], []
+    for r in range(q):
+        exact_ids = set(ie[r].tolist())
+        recalls.append(len(exact_ids & set(i8[r, :k].tolist())) / k)
+        order = np.argsort(-ex_of_int8[r], kind="stable")
+        rr_ids = i8[r][order[:k]]
+        rr_recalls.append(len(exact_ids & set(rr_ids.tolist())) / k)
+        # i8 rows are int8-score-sorted, so columns :k are int8's top-10 picks.
+        displ.append(float(se[r].sum() - ex_of_int8[r, :k].sum()))
+    line = (
+        f"int8_quality N={n} Q={q}: recall@10={np.mean(recalls):.4f} "
+        f"displ={np.mean(displ):.2e} rr_recall@10={np.mean(rr_recalls):.4f} "
+        f"rr_ms={rr_ms:.2f} (cold {rr_ms_cold:.0f})"
+    )
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
 def main(name: str) -> None:
     global N
     if name == "adversarial_1m":
@@ -1063,6 +1228,18 @@ def main(name: str) -> None:
     if name.startswith("ceiling_q1024_"):
         _stage(f"start {name} backend={jax.default_backend()}")
         return ceiling_q1024(name[len("ceiling_q1024_"):])
+    if name.startswith("ceiling_q64_"):
+        _stage(f"start {name} backend={jax.default_backend()}")
+        return ceiling_q64(name[len("ceiling_q64_"):])
+    if name.startswith("int8_quality_"):
+        _stage(f"start {name} backend={jax.default_backend()}")
+        suffix = name[len("int8_quality_"):]
+        qn = 64
+        if "_q" in suffix:
+            suffix, qs_ = suffix.split("_q")
+            qn = int(qs_)
+        scale = {"1m": 1_000_000, "10m": 10_000_000}[suffix]
+        return int8_quality(scale, q=qn)
     if name == "ceiling_tiled_1m":
         _stage(f"start ceiling_tiled_1m backend={jax.default_backend()}")
         return ceiling_tiled_1m()

@@ -1168,16 +1168,23 @@ def int8_quality(n: int, q: int = 64) -> None:
         n2 = jnp.einsum("dn,dn->n", x, x, preferred_element_type=jnp.float32)
         return x * jax.lax.rsqrt(n2 + 1e-12)[None, :].astype(jnp.bfloat16)
 
+    # HBM discipline at 10M: bf16 (7.7 GB) + int8 (3.8 GB) corpora plus the
+    # oracle's score buffers exceed the 16 GB chip. Never hold both full
+    # corpora across a kernel: oracle first (bf16 only), then quantize and
+    # DROP the bf16, run the int8 tier, and REGENERATE the deterministic
+    # bf16 corpus (same PRNGKey) for the final exact-score gather.
     ct = gen(jax.random.PRNGKey(0))
     np.asarray(ct[0, 0])
-    c8, sc = quantize_corpus_t(ct)
-    np.asarray(c8[0, 0])
     qs = jax.random.normal(jax.random.PRNGKey(1), (q, D), jnp.float32)
     qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
 
     _stage("int8_quality: exact oracle (f32-exact fused tier)")
     se, ie = T.cosine_topk_fused(qs, ct, k, precision="exact")
     se, ie = np.asarray(se), np.asarray(ie)
+    _stage("int8_quality: quantize + drop bf16 corpus")
+    c8, sc = quantize_corpus_t(ct)
+    np.asarray(c8[0, 0])
+    del ct
     _stage("int8_quality: int8 top-64")
     s8, i8 = T.cosine_topk_fused_int8(qs, c8, sc, kr)
     s8, i8 = np.asarray(s8), np.asarray(i8)
@@ -1185,19 +1192,6 @@ def int8_quality(n: int, q: int = 64) -> None:
     # Exact f32 scores of the int8 candidates: gather kr columns per query
     # (q*kr indices — small enough to avoid the 10M-index gather pathology)
     # and one [q, kr, D] x [q, D] contraction at f32.
-    @jax.jit
-    def exact_rerank(ids, qs, c):
-        cols = jnp.take(c, ids.reshape(-1), axis=1)  # [D, q*kr] bf16
-        cols = cols.reshape(D, q, kr).astype(jnp.float32)
-        return jnp.einsum("qd,dqk->qk", qs, cols)
-
-    t0 = time.perf_counter()
-    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
-    rr_ms_cold = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
-    rr_ms = (time.perf_counter() - t0) * 1e3
-
     # Production-realizable variant: rerank from the int8 corpus ITSELF
     # (dequantized columns x unquantized f32 query). Removes the query-side
     # quantization noise with ZERO extra HBM (at 10M the bf16 copy used by
@@ -1210,7 +1204,29 @@ def int8_quality(n: int, q: int = 64) -> None:
         cols = cols.reshape(D, q, kr)
         return jnp.einsum("qd,dqk->qk", qs, cols)
 
+    t0 = time.perf_counter()
     d8_of_int8 = np.asarray(int8_dequant_rerank(jnp.asarray(i8), qs, c8, sc))
+    rr8_ms_cold = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    d8_of_int8 = np.asarray(int8_dequant_rerank(jnp.asarray(i8), qs, c8, sc))
+    rr8_ms = (time.perf_counter() - t0) * 1e3
+    del c8, sc
+
+    @jax.jit
+    def exact_rerank(ids, qs, c):
+        cols = jnp.take(c, ids.reshape(-1), axis=1)  # [D, q*kr] bf16
+        cols = cols.reshape(D, q, kr).astype(jnp.float32)
+        return jnp.einsum("qd,dqk->qk", qs, cols)
+
+    _stage("int8_quality: regenerate bf16 corpus for the exact-score gather")
+    ct = gen(jax.random.PRNGKey(0))  # deterministic: bit-identical corpus
+    np.asarray(ct[0, 0])
+    t0 = time.perf_counter()
+    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
+    rr_ms_cold = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    ex_of_int8 = np.asarray(exact_rerank(jnp.asarray(i8), qs, ct))
+    rr_ms = (time.perf_counter() - t0) * 1e3
 
     recalls, rr_recalls, rr8_recalls, displ = [], [], [], []
     for r in range(q):
@@ -1228,7 +1244,7 @@ def int8_quality(n: int, q: int = 64) -> None:
         f"int8_quality N={n} Q={q}: recall@10={np.mean(recalls):.4f} "
         f"displ={np.mean(displ):.2e} rr_recall@10={np.mean(rr_recalls):.4f} "
         f"rr8_recall@10={np.mean(rr8_recalls):.4f} "
-        f"rr_ms={rr_ms:.2f} (cold {rr_ms_cold:.0f})"
+        f"rr_ms={rr_ms:.2f} rr8_ms={rr8_ms:.2f} (cold {rr_ms_cold:.0f}/{rr8_ms_cold:.0f})"
     )
     with open(LOG, "a") as f:
         f.write(line + "\n")

@@ -420,3 +420,70 @@ class TestDenseInt8:
         )[0]
         assert len(hits) == 1
         assert hits[0].record.id == "icici_q2_fy2024_profitability_analysis"
+
+
+class TestInt8ShadowRerank:
+    """The int8 tier's exact host rerank (round-3 verdict #4 fix).
+
+    int8 scan alone agrees with the f32 oracle only 0.972@10 at 1M/10M on
+    random corpora (probe int8_quality_*: top-10 margins sit inside the
+    per-element rounding); the host f32 re-score of the top-64 shortlist
+    repairs id agreement to 1.000 with zero HBM cost. These tests pin the
+    repaired path to the numpy oracle, including tie-breaks.
+    """
+
+    @staticmethod
+    def _chunks(n):
+        from ragfin_tpu.data.models import IndexedChunk
+
+        return [
+            IndexedChunk(
+                id=f"c{i:04d}", text=f"chunk {i}", period="Q1_FY2024",
+                chunk_type="profitability_analysis",
+            )
+            for i in range(n)
+        ]
+
+    @pytest.fixture(scope="class")
+    def emb(self):
+        rng = np.random.default_rng(7)
+        base = _random_unit(rng, 480, 32)
+        # Thin-margin band: rows 480..499 are tiny perturbations of rows
+        # 0..19 — true order is well-defined at f32 but sits inside int8
+        # rounding. Rows 500..507 duplicate rows 0..7 exactly.
+        thin = base[:20] + 3e-4 * rng.standard_normal((20, 32)).astype(np.float32)
+        thin /= np.linalg.norm(thin, axis=1, keepdims=True)
+        # Exact duplicates: tie-break coverage (lowest id must win).
+        dup = base[:8].copy()
+        return np.concatenate([base, thin, dup], axis=0)
+
+    def test_rerank_matches_f32_oracle_with_ties(self, emb):
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(
+            emb, self._chunks(len(emb)), dtype="int8", pad_multiple=128
+        )
+        assert idx.quantized and idx._exact_rows is not None
+        q = jnp.asarray(emb[:6])  # queries near the thin-margin band
+        s, i = idx.search_embeddings(q, top_k=10)
+        es, ei = _numpy_oracle(np.asarray(q), idx._exact_rows.T, 10)
+        assert np.array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+
+    def test_shadow_off_falls_back_to_raw_int8(self, emb):
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(
+            emb, self._chunks(len(emb)), dtype="int8", pad_multiple=128,
+            int8_shadow=False,
+        )
+        assert idx._exact_rows is None
+        s, i = idx.search_embeddings(jnp.asarray(emb[:3]), top_k=5)
+        i = np.asarray(i)
+        assert i.shape == (3, 5)
+        # The raw tier may order a query's own row, its exact duplicate, and
+        # its thin-margin variant arbitrarily (that noise is exactly what
+        # the shadow repairs) — but the top hit must be one of that family.
+        for r, fam in enumerate(({0, 480, 500}, {1, 481, 501}, {2, 482, 502})):
+            assert int(i[r, 0]) in fam
+            assert float(np.asarray(s)[r, 0]) > 0.98

@@ -26,6 +26,13 @@ Two batch modes (the FY-wide false-negative rule):
 - ``quarter`` — rows distinct on the full (bank, year, quarter, type) cell;
   queries are always quarter-specific. This mode supplies the
   same-bank-same-year-different-quarter negatives that teach quarter keys.
+- ``nobank``  — quarter-specific queries that NEVER name the bank (the
+  dominant real style in ``qa_subset.json``: "What was the retail banking
+  segment revenue in Q2 FY2024?"). Rows are distinct on (year, quarter,
+  type) REGARDLESS of bank — a bank-less query legitimately matches any
+  bank's chunk of its scope, so two banks sharing a (year, quarter, type)
+  cell would be a false negative. Teaches the query tower to key on
+  period + metric and stay bank-neutral when no bank is named.
 """
 
 from __future__ import annotations
@@ -151,6 +158,24 @@ _Q_TEMPLATES = [
     "How did {bank}'s {metric} perform in {period}?",
     "What rate of growth did {bank}'s {metric} achieve in {period}?",
     "In absolute terms, how much {metric} did {bank} make in {period}?",
+    # Real-question YoY idiom (every chunk carries its YoY growth figure).
+    "What was the YoY growth in {bank}'s {metric} in {period}?",
+    "What was the year over year growth rate of {bank}'s {metric} in {period}?",
+    "How much did {bank}'s {metric} grow compared to a year earlier in {period}?",
+    "What was the growth rate of {bank}'s {metric} in {period}?",
+]
+
+# Bank-less forms for ``nobank`` mode — the dominant qa_subset style.
+_Q_NOBANK_TEMPLATES = [
+    "What was the {metric} in {period}?",
+    "How much was the {metric} for {period}?",
+    "What was the {metric} reported in {period}?",
+    "{metric} in {period}",
+    "Tell me the {metric} for {period}.",
+    "What was the growth rate of {metric} in {period}?",
+    "How did the {metric} perform in {period}?",
+    "What was the YoY growth in {metric} in {period}?",
+    "How big was the {metric} in {period}?",
 ]
 
 # Chunk-type-specific question shapes: these mention a concept tied to one
@@ -176,6 +201,20 @@ _Q_EXTRAS: dict[str, list[str]] = {
         "How did {bank}'s divisions compare in {period}?",
     ],
 }
+
+# Quarter-pair numerical questions (qa_subset "Numerical Extraction"
+# style: "How much did X increase from Q1 to Q2 FY2024?"). Scope-mode only:
+# both mentioned quarters' docs are legitimate evidence, so the in-batch
+# cell must exclude every same-(bank, year, type) doc — exactly scope
+# mode's distinctness rule.
+_PAIR_TEMPLATES = [
+    "How much did {bank}'s {metric} increase from Q{qa} to Q{qb} FY{year}?",
+    "What was the absolute change in {bank}'s {metric} from Q{qa} to Q{qb} FY{year}?",
+    "What was the percentage growth in {bank}'s {metric} from Q{qa} to Q{qb} FY{year}?",
+    "How did {bank}'s {metric} change between Q{qa} and Q{qb} of FY{year}?",
+    "Compare {bank}'s {metric} in Q{qa} FY{year} with Q{qb} FY{year}.",
+    "How much did {bank}'s {metric} move from Q{qa} FY{year} to Q{qb} FY{year}?",
+]
 
 _TREND_TEMPLATES = [
     "How did {bank}'s {metric} change across FY{year}?",
@@ -258,7 +297,9 @@ def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
     """One (query, document, scope_cell) sample.
 
     ``mode='quarter'``: quarter-specific query; cell = (bank, year, q, type).
-    ``mode='scope'``: FY-wide trend query;     cell = (bank, year, type).
+    ``mode='scope'``: FY-wide trend or quarter-pair query;
+                      cell = (bank, year, type).
+    ``mode='nobank'``: bank-less quarter query; cell = (year, q, type).
     """
     bank = BANKS[int(r.integers(0, len(BANKS)))]
     year = _YEARS[int(r.integers(0, len(_YEARS)))]
@@ -283,23 +324,55 @@ def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
             period=_period_phrase(q, year, r),
         )
         cell = (bank, year, q, ctype)
+    elif mode == "nobank":
+        tmpl = _Q_NOBANK_TEMPLATES[int(r.integers(0, len(_Q_NOBANK_TEMPLATES)))]
+        query = tmpl.format(
+            metric=_metric_phrase(metric, r), period=_period_phrase(q, year, r)
+        )
+        cell = (year, q, ctype)
     else:
-        extras = _TREND_EXTRAS.get(ctype, [])
-        pool = extras if (extras and r.uniform() < 0.2) else _TREND_TEMPLATES
-        tmpl = pool[int(r.integers(0, len(pool)))]
-        query = tmpl.format(bank=_bank_phrase(bank, r), metric=_metric_phrase(metric, r), year=year)
+        if r.uniform() < 0.3:
+            # Quarter-pair numerical question; the doc is one of the two
+            # mentioned quarters (both are legitimate evidence).
+            qa_, qb = sorted(r.choice(4, size=2, replace=False) + 1)
+            q_doc = int(qa_ if r.uniform() < 0.5 else qb)
+            doc = _TEMPLATE_FNS[ctype](bank, f"Q{q_doc}_FY{year}", r)
+            if r.uniform() < 0.5:
+                doc = _reword(doc, r)
+            tmpl = _PAIR_TEMPLATES[int(r.integers(0, len(_PAIR_TEMPLATES)))]
+            query = tmpl.format(
+                bank=_bank_phrase(bank, r),
+                metric=_metric_phrase(metric, r),
+                qa=int(qa_), qb=int(qb), year=year,
+            )
+        else:
+            extras = _TREND_EXTRAS.get(ctype, [])
+            pool = extras if (extras and r.uniform() < 0.2) else _TREND_TEMPLATES
+            tmpl = pool[int(r.integers(0, len(pool)))]
+            query = tmpl.format(
+                bank=_bank_phrase(bank, r), metric=_metric_phrase(metric, r), year=year
+            )
         cell = (bank, year, ctype)
     return query, doc, cell
 
 
-def pair_batch(r, batch_size: int, quarter_frac: float = 0.7) -> tuple[list[str], list[str]]:
+def pair_batch(
+    r, batch_size: int, quarter_frac: float = 0.55, nobank_frac: float = 0.15
+) -> tuple[list[str], list[str]]:
     """One batch of pairs with all-distinct scope cells (InfoNCE-safe).
 
     A single batch is homogeneous in mode: mixing an FY-wide row with a
     quarter-specific row of the same (bank, year, type) would make the
-    quarter row's doc a false negative for the FY row.
+    quarter row's doc a false negative for the FY row; mixing a bank-less
+    row with ANY same-(year, quarter, type) row of another bank likewise.
     """
-    mode = "quarter" if r.uniform() < quarter_frac else "scope"
+    u = r.uniform()
+    if u < quarter_frac:
+        mode = "quarter"
+    elif u < quarter_frac + nobank_frac:
+        mode = "nobank"
+    else:
+        mode = "scope"
     queries, docs, seen = [], [], set()
     attempts = 0
     while len(queries) < batch_size:

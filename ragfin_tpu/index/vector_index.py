@@ -30,6 +30,36 @@ from ..models.featurizer import HashedFeaturizer
 from ..ops.topk import cosine_topk
 
 
+def _q_bucket(n: int) -> int:
+    """Bucket a query count to a small fixed set of device batch shapes.
+
+    Every distinct Q reaching a kernel is a separate XLA executable, and a
+    compile through the axon tunnel costs seconds-to-minutes: under the
+    serving batcher, concurrent load produced batches of 3, 5, 13, 16, 20
+    queries — a compile storm that collapsed the 1M concurrent benchmark to
+    ~1 QPS with 20 s latencies. Padding Q to {1, 8, 64, k*64} bounds the
+    executable count per tier-plan to ~3 warmable shapes; the padded zero
+    rows cost ~nothing (the [Q, N] scan is corpus-bound) and are ignored by
+    the host postprocess, which iterates the real query list.
+    """
+    if n <= 1:
+        return 1
+    if n <= 8:
+        return 8
+    if n <= 64:
+        return 64
+    return -(-n // 64) * 64
+
+
+def _pad_queries(q) -> "np.ndarray":
+    """Zero-pad [Q, D] query embeddings up to the Q bucket."""
+    q = np.asarray(q, np.float32)
+    b = _q_bucket(q.shape[0])
+    if b == q.shape[0]:
+        return q
+    return np.concatenate([q, np.zeros((b - q.shape[0], q.shape[1]), np.float32)])
+
+
 def _exact_rerank_host(q, ids, rows_f32, k: int):
     """Exact f32 re-score of an int8 shortlist against host corpus rows.
 
@@ -502,7 +532,7 @@ class DeviceVectorIndex:
                     queries, plan[0], plan[1], top_k,
                     consistency_weight, consistency_strict,
                 )
-        q = self._encode_queries(queries)
+        q = _pad_queries(self._encode_queries(queries))
         # Integrity-weighted candidate generation: scale positive
         # similarities by the chunk's consistency multiplier ON DEVICE,
         # before selection — a tampered near-duplicate then loses at fetch
@@ -768,7 +798,7 @@ class DeviceVectorIndex:
             ))
 
         if device_tiers:
-            q = self._encode_queries(queries)
+            q = _pad_queries(self._encode_queries(queries))
             score_mult = (
                 self._integrity_mult(consistency_weight, consistency_strict)
                 if consistency_weight > 0

@@ -168,13 +168,28 @@ class RagFinEngine:
         if searcher is not None:
             period = self.vector_index.records[0].period.replace("_", " ")
             for q in (f"warmup net profit in {period}", "warmup query"):
-                try:
-                    searcher.search_texts([q], top_k=self.settings.default_top_k)
-                except Exception as e:  # noqa: BLE001 — warmup must not kill startup
-                    # A swallowed failure here means the first PRODUCTION
-                    # query pays the ~80-90 s tier-group compile this warmup
-                    # exists to prevent — make it visible.
-                    logger.warning("FilteredSearch warmup failed for %r: %s", q, e)
+                # The device Q dimension is bucket-padded to {1, 8, 64}
+                # (vector_index._q_bucket): under the serving batcher,
+                # concurrent load forms arbitrary-size batches, and every
+                # distinct Q used to be a fresh XLA executable — a compile
+                # storm that collapsed the 1M concurrent benchmark to ~1 QPS.
+                # Warm each bucket per plan shape so a batched first wave
+                # never pays compile. (reps>1 beyond the bucket boundary add
+                # nothing: 2..8 queries all run the Q=8 executable.)
+                for reps in (1, 8, 64):
+                    try:
+                        searcher.search_texts(
+                            [q] * reps, top_k=self.settings.default_top_k
+                        )
+                    except Exception as e:  # noqa: BLE001 — warmup must not kill startup
+                        # A swallowed failure here means the first PRODUCTION
+                        # query pays the ~80-90 s tier-group compile this
+                        # warmup exists to prevent — make it visible.
+                        logger.warning(
+                            "FilteredSearch warmup failed for %r x%d: %s",
+                            q, reps, e,
+                        )
+                        break
         if self.settings.integrity_weight > 0 and hasattr(
             self.vector_index, "integrity_column"
         ):

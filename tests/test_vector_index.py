@@ -274,3 +274,61 @@ class TestDeviceMaskCache:
         assert r1 == r2
         for k, v in cache1.items():
             assert cache2[k] is v
+
+
+class TestQueryBucketPadding:
+    """Device Q is bucket-padded to {1, 8, 64, k*64} (vector_index._q_bucket)
+    so the serving batcher's arbitrary batch sizes map to a handful of
+    warmable XLA executables instead of a compile storm (round-4 concurrent
+    benchmark collapsed to ~1 QPS on per-Q recompiles through the tunnel)."""
+
+    def test_bucket_values(self):
+        from ragfin_tpu.index.vector_index import _q_bucket
+
+        assert [_q_bucket(n) for n in (0, 1, 2, 5, 8, 9, 63, 64)] == [
+            1, 1, 8, 8, 8, 64, 64, 64,
+        ]
+        assert _q_bucket(65) == 128
+        assert _q_bucket(129) == 192
+
+    def test_pad_shape_and_content(self):
+        from ragfin_tpu.index.vector_index import _pad_queries
+
+        q = np.random.default_rng(0).normal(size=(5, 384)).astype(np.float32)
+        p = _pad_queries(q)
+        assert p.shape == (8, 384)
+        np.testing.assert_array_equal(p[:5], q)
+        assert not p[5:].any()
+        q1 = np.ones((8, 384), np.float32)
+        assert _pad_queries(q1) is q1  # exact bucket: no copy
+
+    def test_padded_batch_matches_per_query(self, index):
+        """A 3-query filtered search (padded to Q=8 on device) returns
+        exactly what three 1-query searches return."""
+        qs = [
+            "What was the net profit?",
+            "How did retail banking perform?",
+            "What was the basic EPS?",
+        ]
+        kwargs = dict(periods=["Q1_FY2024", "Q2_FY2024"], top_k=4)
+        batched = index.search_texts(qs, **kwargs)
+        for qi, q in enumerate(qs):
+            solo = index.search_texts([q], **kwargs)[0]
+            assert [(h.id, round(h.score, 5)) for h in batched[qi]] == [
+                (h.id, round(h.score, 5)) for h in solo
+            ]
+
+    def test_padded_tier_group_matches_per_query(self, index):
+        from ragfin_tpu.retrieval.queryfilter import FilteredSearch
+
+        fs = FilteredSearch(index)
+        qs = [
+            "What was the net profit in Q1 FY2024?",
+            "What was the cost to income ratio in Q1 FY2024?",
+        ]
+        batched = fs.search_texts(qs, top_k=3)
+        for qi, q in enumerate(qs):
+            solo = fs.search_texts([q], top_k=3)[0]
+            assert [h.record.id for h in batched[qi]] == [
+                h.record.id for h in solo
+            ]

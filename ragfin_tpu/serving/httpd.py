@@ -188,12 +188,19 @@ def _make_handler(app: JsonApp):
     return _Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default accept backlog of 5 drops connections under
+    # concurrent load (measured: 7/691 resets at 32 parallel clients in the
+    # 1M serving_concurrent benchmark); listen() deeper.
+    request_queue_size = 128
+
+
 class AppServer:
     """Threaded server wrapper with background start/stop (for tests too)."""
 
     def __init__(self, app: JsonApp, host: str = "127.0.0.1", port: int = 0):
         self.app = app
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(app))
+        self.httpd = _Server((host, port), _make_handler(app))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

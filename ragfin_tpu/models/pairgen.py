@@ -42,6 +42,12 @@ import numpy as np
 from ..eval.distractors import _TEMPLATES, _SEGMENTS, _reword, BANKS
 
 _YEARS = list(range(2018, 2032))
+# nobank mode's scope cell is (year, quarter, chunk_type) — with the base 14
+# years that is 14x4x4 = 224 distinct cells, below a 256-row batch, and
+# pair_batch would spin forever looking for distinct cells. Bank-less
+# batches draw from a wider year range (the doc templates accept any year;
+# wider years also harden year-token discrimination).
+_NOBANK_YEARS = list(range(2004, 2036))
 _ORDINALS = {1: "first", 2: "second", 3: "third", 4: "fourth"}
 
 # metric concept -> (chunk_type, phrasings). Phrasings mix canonical
@@ -291,6 +297,63 @@ def _metric_phrase(metric: str, r) -> str:
 
 
 _TEMPLATE_FNS = {ctype: fn for ctype, fn, _ in _TEMPLATES}
+_TYPE_ORDER = sorted(_BY_TYPE)
+
+
+def _quarter_row(r, bank, year, q, metric, nobank=False):
+    """One quarter-specific (query, doc) pair for an exact scope."""
+    ctype, _ = _METRICS[metric]
+    doc = _TEMPLATE_FNS[ctype](bank, f"Q{q}_FY{year}", r)
+    if r.uniform() < 0.5:
+        doc = _reword(doc, r)
+    if nobank:
+        tmpl = _Q_NOBANK_TEMPLATES[int(r.integers(0, len(_Q_NOBANK_TEMPLATES)))]
+        query = tmpl.format(
+            metric=_metric_phrase(metric, r), period=_period_phrase(q, year, r)
+        )
+    else:
+        extras = _Q_EXTRAS.get(ctype, [])
+        pool = extras if (extras and r.uniform() < 0.2) else _Q_TEMPLATES
+        tmpl = pool[int(r.integers(0, len(pool)))]
+        query = tmpl.format(
+            bank=_bank_phrase(bank, r),
+            metric=_metric_phrase(metric, r),
+            period=_period_phrase(q, year, r),
+        )
+    return query, doc
+
+
+def hard_block(r) -> list[tuple[str, str, tuple]]:
+    """4 rows differing ONLY in chunk type (same bank/year/quarter) or ONLY
+    in quarter (same bank/year/type) — dense in-batch hard negatives.
+
+    Random-cell batches almost never place a row's same-scope siblings in
+    the same batch (the quarter-mode cell space is ~8k), so InfoNCE
+    saturates (~1e-4 loss) without ever sharpening the two distinctions the
+    16-chunk diagnostic shows failing: segment questions landing on the
+    co-scoped profitability chunk, and trend questions landing on the
+    co-scoped ratios chunk (scripts/encoder_diag.py). A "types" block makes
+    the other three types of the SAME scope the negatives; a "quarters"
+    block does the same for the other three quarters.
+    """
+    bank = BANKS[int(r.integers(0, len(BANKS)))]
+    year = _YEARS[int(r.integers(0, len(_YEARS)))]
+    rows = []
+    if r.uniform() < 0.5:  # types block
+        q = int(r.integers(1, 5))
+        for ctype in _TYPE_ORDER:
+            names = _BY_TYPE[ctype]
+            metric = names[int(r.integers(0, len(names)))]
+            query, doc = _quarter_row(r, bank, year, q, metric)
+            rows.append((query, doc, (bank, year, q, ctype)))
+    else:  # quarters block
+        ctype = _TYPE_ORDER[int(r.integers(0, len(_TYPE_ORDER)))]
+        names = _BY_TYPE[ctype]
+        metric = names[int(r.integers(0, len(names)))]
+        for q in (1, 2, 3, 4):
+            query, doc = _quarter_row(r, bank, year, q, metric)
+            rows.append((query, doc, (bank, year, q, ctype)))
+    return rows
 
 
 def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
@@ -302,7 +365,8 @@ def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
     ``mode='nobank'``: bank-less quarter query; cell = (year, q, type).
     """
     bank = BANKS[int(r.integers(0, len(BANKS)))]
-    year = _YEARS[int(r.integers(0, len(_YEARS)))]
+    years = _NOBANK_YEARS if mode == "nobank" else _YEARS
+    year = years[int(r.integers(0, len(years)))]
     q = int(r.integers(1, 5))
     metric = list(_METRICS)[int(r.integers(0, len(_METRICS)))]
     ctype, _ = _METRICS[metric]
@@ -357,7 +421,11 @@ def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
 
 
 def pair_batch(
-    r, batch_size: int, quarter_frac: float = 0.55, nobank_frac: float = 0.15
+    r,
+    batch_size: int,
+    quarter_frac: float = 0.30,
+    nobank_frac: float = 0.15,
+    hard_frac: float = 0.25,
 ) -> tuple[list[str], list[str]]:
     """One batch of pairs with all-distinct scope cells (InfoNCE-safe).
 
@@ -365,14 +433,36 @@ def pair_batch(
     quarter-specific row of the same (bank, year, type) would make the
     quarter row's doc a false negative for the FY row; mixing a bank-less
     row with ANY same-(year, quarter, type) row of another bank likewise.
+    ``hard`` batches are built from :func:`hard_block` 4-row blocks
+    (quarter-specific banked queries — the same cell semantics as
+    ``quarter`` mode, so distinctness on the full cell keeps them safe).
     """
     u = r.uniform()
     if u < quarter_frac:
         mode = "quarter"
     elif u < quarter_frac + nobank_frac:
         mode = "nobank"
+    elif u < quarter_frac + nobank_frac + hard_frac:
+        mode = "hard"
     else:
         mode = "scope"
+    if mode == "hard":
+        queries, docs, seen = [], [], set()
+        attempts = 0
+        while len(queries) < batch_size:
+            attempts += 1
+            if attempts > 60 * batch_size:
+                raise ValueError(
+                    f"batch_size={batch_size} too large for distinct hard-block cells"
+                )
+            block = hard_block(r)
+            if any(cell in seen for _, _, cell in block):
+                continue
+            for query, doc, cell in block[: batch_size - len(queries)]:
+                seen.add(cell)
+                queries.append(query)
+                docs.append(doc)
+        return queries, docs
     queries, docs, seen = [], [], set()
     attempts = 0
     while len(queries) < batch_size:

@@ -143,13 +143,24 @@ def main() -> None:
             t = time.perf_counter()
             approx = ivf.search_texts(questions, top_k=10, nprobe=nprobe)
             wall = time.perf_counter() - t
-            overlaps = []
+            overlaps, tie_aware = [], []
             for e_hits, a_hits in zip(exact, approx):
                 e_ids = {h.id for h in e_hits}
-                if e_ids:
-                    overlaps.append(len(e_ids & {h.id for h in a_hits}) / len(e_ids))
+                if not e_ids:
+                    continue
+                a_ids = {h.id for h in a_hits}
+                overlaps.append(len(e_ids & a_ids) / len(e_ids))
+                # Tie-aware agreement: template near-duplicates embed almost
+                # identically, so among exact score ties overlap@10 is
+                # ill-defined (any tie member is an equally-correct answer).
+                # Count an approx hit as agreeing if its score reaches the
+                # exact list's k-th score minus a tie epsilon.
+                floor = min(h.score for h in e_hits) - 1e-5
+                ok = sum(1 for h in a_hits if h.id in e_ids or h.score >= floor)
+                tie_aware.append(ok / len(e_ids))
             curve[nprobe] = {
                 "overlap": round(float(np.mean(overlaps)) if overlaps else 0.0, 4),
+                "tie_aware": round(float(np.mean(tie_aware)) if tie_aware else 0.0, 4),
                 "wall_s": round(wall, 2),
             }
         out["results"]["ivf_vs_exact_overlap@10_trained"] = {

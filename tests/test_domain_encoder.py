@@ -113,6 +113,34 @@ class TestPairGen:
     def test_corpus_sample_deterministic(self):
         assert corpus_sample(10, seed=5) == corpus_sample(10, seed=5)
 
+    def test_hard_block_invariants(self):
+        from ragfin_tpu.models.pairgen import hard_block
+
+        r = np.random.default_rng(3)
+        for _ in range(30):
+            rows = hard_block(r)
+            assert len(rows) == 4
+            cells = [c for _, _, c in rows]
+            banks = {c[0] for c in cells}
+            years = {c[1] for c in cells}
+            assert len(banks) == 1 and len(years) == 1
+            quarters = {c[2] for c in cells}
+            ctypes = {c[3] for c in cells}
+            # differ ONLY in quarter (types block: 1 quarter x 4 types is
+            # the other kind) — exactly one of the two axes spans 4 values
+            assert sorted((len(quarters), len(ctypes))) == [1, 4]
+            assert len(set(cells)) == 4
+
+    def test_hard_batch_distinct_cells(self):
+        from ragfin_tpu.models.pairgen import pair_batch
+
+        r = np.random.default_rng(11)
+        queries, docs = pair_batch(
+            r, 64, quarter_frac=0.0, nobank_frac=0.0, hard_frac=1.0
+        )
+        assert len(queries) == 64
+        assert len(set(docs)) == 64
+
 
 @pytest.fixture(scope="module")
 def tiny_checkpoint(tmp_path_factory):

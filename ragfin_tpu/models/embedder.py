@@ -184,15 +184,26 @@ class TrainedEmbedder:
         for start in range(0, len(texts), self.batch_size):
             batch = list(texts[start : start + self.batch_size])
             ids, mask = self.tokenizer.encode_batch(batch, pad_multiple=self.pad_multiple)
-            if len(batch) < self.batch_size and len(texts) > self.batch_size:
-                # Pad the tail batch to the full batch shape: one more row
-                # of compile cache hits instead of one compile per tail size.
-                pad = self.batch_size - len(batch)
-                ids = np.pad(ids, ((0, pad), (0, 0)))
-                mask = np.pad(mask, ((0, pad), (0, 0)))
-                emb = np.asarray(self._apply(self.params, ids, mask), np.float32)[: len(batch)]
-            else:
-                emb = np.asarray(self._apply(self.params, ids, mask), np.float32)
+            # Bucket the ROW dimension: every distinct row count is a fresh
+            # remote compile of the full encoder forward, and the serving
+            # batcher forms arbitrary query-batch sizes — the same compile
+            # storm the top-k path pads away (vector_index._q_bucket). Tail
+            # batches of a bulk encode pad to the full batch shape;
+            # interactive batches pad to the {1, 8, 64, k*64} buckets.
+            rows = len(batch)
+            if rows < self.batch_size:
+                if len(texts) > self.batch_size:
+                    target = self.batch_size
+                elif rows <= 1:
+                    target = 1
+                elif rows <= 8:
+                    target = 8
+                else:
+                    target = min(self.batch_size, -(-rows // 64) * 64)
+                if target > rows:
+                    ids = np.pad(ids, ((0, target - rows), (0, 0)))
+                    mask = np.pad(mask, ((0, target - rows), (0, 0)))
+            emb = np.asarray(self._apply(self.params, ids, mask), np.float32)[:rows]
             out.append(emb)
         return np.concatenate(out, axis=0) if out else np.zeros((0, self.dim), np.float32)
 

@@ -29,7 +29,13 @@ logger = logging.getLogger("ragfin_tpu.engine")
 class RagFinEngine:
     """Vector index + graph store + RAG frontends, built from Settings."""
 
-    def __init__(self, settings: Optional[Settings] = None, chunks=None, provider: Optional[LLMProvider] = None):
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        chunks=None,
+        provider: Optional[LLMProvider] = None,
+        vector_index: Optional[DeviceVectorIndex] = None,
+    ):
         self.settings = settings or get_config()
         # On TPU, load compiled executables from the repo-local persistent
         # cache: a 10M-scale graph-match/top-k shape compiles in minutes
@@ -40,7 +46,12 @@ class RagFinEngine:
         enable_compilation_cache()
         self.provider = provider if provider is not None else self._make_provider()
         self.chunks = chunks if chunks is not None else self._load_chunks()
-        self.vector_index = self._build_or_load_index()
+        # Bring-your-own index: callers with a prebuilt/pre-encoded index
+        # (slab-cached corpus embeddings, externally tuned quantization)
+        # skip the build path entirely.
+        self.vector_index = (
+            vector_index if vector_index is not None else self._build_or_load_index()
+        )
         self.graph = self._load_graph()
         if self.provider is not None and self.settings.default_model != "fake":
             # Reuse the engine's provider (one rate-limited client) instead

@@ -64,12 +64,29 @@ def main() -> None:
     t0 = time.perf_counter()
     os.environ.setdefault("RAGFIN_BATCH_QUERIES", "1")
     os.environ.setdefault("RAGFIN_INDEX_DTYPE", DTYPE)
-    # Measure the RPC/batcher stack with the weight-free lexical featurizer
-    # (same backend as every serving_e2e line); encoder-backend latency is
-    # scripts/trained_eval.py's job, and building a 1M index through the
-    # trained encoder costs ~30 min of tunnel time this probe doesn't need.
-    os.environ.setdefault("RAGFIN_EMBED_BACKEND", "hashed")
-    engine = RagFinEngine(chunks=chunks)
+    backend = os.environ.get("SERVE_BACKEND", "hashed")
+    prebuilt = None
+    if backend == "trained":
+        # Production-default backend: reuse scripts/trained_eval.py's slab
+        # cache (identical corpus: same distractor seed/order), so the 1M
+        # encode is free when the trained eval already ran this checkpoint.
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.models.embedder import TrainedEmbedder
+
+        os.environ["DISTRACTOR_N"] = str(N)  # slab dir must match this corpus
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import trained_eval as te
+
+        assert te.N == N, f"slab cache is for N={te.N}, this run is N={N}"
+        embedder = TrainedEmbedder(batch_size=512, pad_multiple=192)
+        matrix = te.encode_corpus(embedder, [c.text for c in chunks], t0=time.perf_counter())
+        prebuilt = DeviceVectorIndex(matrix, chunks)
+        prebuilt.embedder = TrainedEmbedder()  # query-shape pad_multiple=16
+    else:
+        # Measure the RPC/batcher stack with the weight-free lexical
+        # featurizer (same backend as every serving_e2e line).
+        os.environ.setdefault("RAGFIN_EMBED_BACKEND", "hashed")
+    engine = RagFinEngine(chunks=chunks, vector_index=prebuilt)
     build_s = time.perf_counter() - t0
     assert engine.batcher is not None, "batcher must be on for this benchmark"
     _stage(f"engine up in {build_s:.0f}s; launching vector MCP + REST adapter")
@@ -144,8 +161,9 @@ def main() -> None:
         all_lat = np.sort(np.concatenate([np.array(l) for l in lat if l])) * 1e3
         qps = done / wall
         mean_batch = served / batches if batches else 0.0
+        tag = "" if backend == "hashed" else f" backend={backend}"
         line = (
-            f"serving_concurrent N={N} C={n_clients}: {qps:,.1f} QPS sustained "
+            f"serving_concurrent N={N} C={n_clients}{tag}: {qps:,.1f} QPS sustained "
             f"p50={all_lat[len(all_lat)//2]:.0f} ms p95={all_lat[int(len(all_lat)*0.95)]:.0f} ms "
             f"({done} reqs/{wall:.0f}s, errors={sum(errors)}; batcher: {batches} dispatches "
             f"batch mean={mean_batch:.1f} p50={bhist.get('p50', 0):.0f} "

@@ -245,3 +245,37 @@ class TestSettingsWiring:
             else "hashed"
         )
         assert mod._default_backend() == expected
+
+
+class TestPackagedCheckpoint:
+    """The checkpoint COMMITTED to the repo must load and retrieve sanely —
+    a corrupt params.npz or vocab drift would otherwise only surface in the
+    1M eval scripts, never in CI."""
+
+    @pytest.fixture(scope="class")
+    def packaged(self):
+        from ragfin_tpu.models.domain_encoder import DEFAULT_CKPT_DIR
+
+        if not os.path.exists(os.path.join(DEFAULT_CKPT_DIR, "config.json")):
+            pytest.skip("no packaged checkpoint in this tree")
+        from ragfin_tpu.models.embedder import TrainedEmbedder
+
+        return TrainedEmbedder()
+
+    def test_encodes_unit_norm(self, packaged):
+        emb = packaged.encode_texts(
+            ["ICICI Bank net profit Q1 FY2024", "customer deposits"]
+        )
+        assert emb.shape == (2, 384)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+
+    def test_retrieves_gold_on_real_corpus(self, packaged, reference_root):
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        idx = DeviceVectorIndex.build(chunks, embedder=packaged)
+        hits = idx.search_texts(
+            ["What was ICICI Bank's net profit in Q1 FY2024?"], top_k=3
+        )[0]
+        assert "icici_q1_fy2024_profitability_analysis" in [h.id for h in hits]

@@ -53,7 +53,11 @@ class Settings:
     # from-scratch in-domain semantic encoder (models/domain_encoder.py,
     # checkpoint committed in checkpoints/domain_encoder/); "minilm" =
     # HF-checkpoint MiniLM (needs weights the zero-egress image lacks).
-    embed_backend: str = "hashed"  # "hashed" | "trained" | "minilm"
+    # default_factory keeps the programmatic Settings() default identical
+    # to the env-built one (_from_env): "trained" when the packaged
+    # checkpoint exists, else "hashed" — two components of one deployment
+    # must not silently embed with different encoders.
+    embed_backend: str = field(default_factory=lambda: _default_backend())
     minilm_checkpoint: Optional[str] = None
     trained_checkpoint: Optional[str] = None  # None -> packaged default dir
     topk_method: str = "auto"  # "auto" | "dense" | "blocked" | "fused"

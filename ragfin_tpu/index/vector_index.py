@@ -500,8 +500,11 @@ class DeviceVectorIndex:
         candidates and exactly re-scores them with sparse TF-IDF cosine on
         host (hashed backend only) — removes the JL projection noise that
         dominates ranking among near-duplicates at large corpus scale.
-        Filtered searches on a quantized index run through the dense path
-        over the dequantized matrix.
+        Filtered searches on a quantized index scan int8 with a widened
+        (>=64) shortlist and exact-repair the order against the host f32
+        shadow rows (same repair as the unfiltered path; skipped in
+        integrity mode, where device scores carry the consistency
+        multiplier).
 
         ``consistency_weight > 0`` adds a final figure-consistency re-rank
         over the (sparse-reranked) shortlist: similarity is scaled by how
@@ -561,15 +564,21 @@ class DeviceVectorIndex:
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_int8
 
+                repair = self._repairable(consistency_weight)
+                dev_k = min(max(fetch_k, 64) if repair else fetch_k, max(self.n, 1))
                 scores, rows = cosine_topk_dense_int8(
                     jnp.asarray(q, jnp.float32),
                     self.matrix_t,
                     self.scales,
-                    min(fetch_k, max(self.n, 1)),
+                    dev_k,
                     n_valid=self.n,
                     row_mask=row_mask,
                     score_mult=score_mult,
                 )
+                if repair:
+                    scores, rows = self._exact_repair(
+                        q, scores, rows, min(fetch_k, dev_k)
+                    )
             else:
                 from ..ops.topk import cosine_topk_dense
 
@@ -585,6 +594,47 @@ class DeviceVectorIndex:
             scores, rows = self.search_embeddings(q, top_k=fetch_k, method=method)
         return self._postprocess_device_hits(
             queries, scores, rows, top_k, rerank, consistency_weight, consistency_strict
+        )
+
+    def _exact_repair(self, q, scores, rows, keep: int):
+        """Exact host re-score of a FILTERED int8 device shortlist.
+
+        The unfiltered path repairs through search_embeddings (see
+        __init__: int8 id agreement vs the f32 oracle is 0.972@10; the
+        host-f32 re-score of a top-64 shortlist measured 1.000) — this is
+        the same repair for the masked/tier paths, which would otherwise
+        serve dequantized-int8 order whenever a semantic backend (no
+        sparse re-rank) runs over a quantized index. Only entries the
+        device scored FINITE are re-scored: a masked-out row must never
+        re-enter on its raw cosine. Returns (scores, rows) truncated to
+        ``keep`` with the oracle tie-break.
+        """
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        q = np.asarray(q, np.float32)[: rows.shape[0]]
+        safe = np.clip(rows, 0, max(self.n - 1, 0))
+        cand = self._exact_rows[safe.reshape(-1)].reshape(rows.shape + (self.dim,))
+        exact = np.einsum("qd,qkd->qk", q, cand)
+        valid = np.isfinite(scores) & (rows < self.n)
+        exact = np.where(valid, exact, -np.inf)
+        by_id = np.argsort(rows, axis=1, kind="stable")
+        ids_s = np.take_along_axis(rows, by_id, axis=1)
+        ex_s = np.take_along_axis(exact, by_id, axis=1)
+        order = np.argsort(-ex_s, axis=1, kind="stable")[:, :keep]
+        return (
+            np.take_along_axis(ex_s, order, axis=1),
+            np.take_along_axis(ids_s, order, axis=1),
+        )
+
+    def _repairable(self, consistency_weight: float) -> bool:
+        """Whether the filtered int8 paths should widen the device fetch to
+        >=64 and exact-repair on host. Off in integrity mode: the device
+        scores carry the consistency multiplier, which a raw-cosine
+        re-score would silently strip."""
+        return (
+            self.quantized
+            and self._exact_rows is not None
+            and consistency_weight <= 0
         )
 
     def _postprocess_device_hits(
@@ -809,10 +859,20 @@ class DeviceVectorIndex:
             if self.quantized:
                 from ..ops.topk import cosine_topk_dense_multi_int8
 
+                repair = self._repairable(consistency_weight)
+                dev_k = min(max(fetch_k, 64) if repair else fetch_k, max(self.n, 1))
                 s_all, r_all = cosine_topk_dense_multi_int8(
                     jnp.asarray(q, jnp.float32), self.matrix_t, self.scales,
-                    fetch_k, masks, n_valid=self.n, score_mult=score_mult,
+                    dev_k, masks, n_valid=self.n, score_mult=score_mult,
                 )
+                if repair:
+                    keep = min(fetch_k, dev_k)
+                    pairs = [
+                        self._exact_repair(q, s_all[gi], r_all[gi], keep)
+                        for gi in range(len(device_tiers))
+                    ]
+                    s_all = np.stack([p[0] for p in pairs])
+                    r_all = np.stack([p[1] for p in pairs])
             else:
                 from ..ops.topk import cosine_topk_dense_multi
 
@@ -861,7 +921,13 @@ class DeviceVectorIndex:
             embedder.fit([r.text for r in all_records])
             matrix = embedder.encode_texts([r.text for r in all_records])
         else:
-            if self.quantized:
+            if self.quantized and self._exact_rows is not None:
+                # The shadow rows ARE the pre-quantization f32 embeddings:
+                # rebuilding from dequantized matrix columns would bake one
+                # int8 rounding into the new index's "exact" rerank rows
+                # (and compound across repeated inserts).
+                old = self._exact_rows
+            elif self.quantized:
                 old = np.asarray(self.matrix_t.astype(jnp.float32) * self.scales)[:, : self.n].T
             else:
                 old = np.asarray(self.matrix_t[:, : self.n].T, np.float32)
@@ -908,7 +974,12 @@ class DeviceVectorIndex:
     # --- persistence ------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        if self.quantized:
+        if self.quantized and self._exact_rows is not None:
+            # Persist the PRE-quantization f32 rows (the shadow): saving the
+            # dequantized matrix would bake int8 rounding into the reloaded
+            # index's exact-rerank rows and drift tie-breaks across restart.
+            dense = self._exact_rows
+        elif self.quantized:
             dense = (self.matrix_t.astype(jnp.float32) * self.scales)[:, : self.n].T
         else:
             dense = self.matrix_t[:, : self.n].T
@@ -985,6 +1056,18 @@ class DeviceVectorIndex:
             from ..models.embedder import MiniLMEmbedder
 
             index.embedder = MiniLMEmbedder(checkpoint=meta["embedder"].get("checkpoint"))
+        elif "embedder" in meta and meta["embedder"].get("backend") == "trained":
+            # Trained is the DEFAULT backend whenever the packaged
+            # checkpoint exists — without this branch a persisted
+            # deployment reloads with embedder=None and every search
+            # raises (the engine's warmup swallows it, so the failure
+            # surfaces as errors on live queries, not at startup).
+            from ..models.embedder import TrainedEmbedder
+
+            ckpt = meta["embedder"].get("checkpoint")
+            if ckpt and not os.path.exists(os.path.join(ckpt, "config.json")):
+                ckpt = None  # saved under a moved/renamed tree: packaged default
+            index.embedder = TrainedEmbedder(checkpoint=ckpt)
         elif getattr(index, "featurizer", None) is not None and getattr(index, "encoder", None) is not None:
             from ..models.embedder import HashedEmbedder
 

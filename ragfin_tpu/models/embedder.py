@@ -200,6 +200,14 @@ class TrainedEmbedder:
                     target = 8
                 else:
                     target = min(self.batch_size, -(-rows // 64) * 64)
+                # Interactive calls also pin the SEQUENCE dim to 64-token
+                # buckets: with the default pad_multiple=16 a novel query
+                # length would compile a fresh forward mid-serving (same
+                # storm class as the row dimension, other axis).
+                s_pad = max(64, -(-ids.shape[1] // 64) * 64) - ids.shape[1]
+                if s_pad:
+                    ids = np.pad(ids, ((0, 0), (0, s_pad)))
+                    mask = np.pad(mask, ((0, 0), (0, s_pad)))
                 if target > rows:
                     ids = np.pad(ids, ((0, target - rows), (0, 0)))
                     mask = np.pad(mask, ((0, target - rows), (0, 0)))

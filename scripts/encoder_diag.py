@@ -36,8 +36,7 @@ def main() -> None:
     from ragfin_tpu.models.embedder import TrainedEmbedder
 
     ref = os.environ.get("REFERENCE_ROOT", "/root/reference")
-    ckpt = os.environ.get("CKPT")
-    embedder = TrainedEmbedder(ckpt_dir=ckpt) if ckpt else TrainedEmbedder()
+    embedder = TrainedEmbedder(checkpoint=os.environ.get("CKPT"))
     chunks = build_corpus(os.path.join(ref, "extract_data"))
     qa = load_qa_subset(os.path.join(ref, "qa_subset.json"))
 

@@ -35,10 +35,30 @@ EMB_DIR = f"eval_results/trained_emb_{N}"
 
 
 def encode_corpus(embedder, texts, t0):
-    """Resumable slab-wise encode: returns [N, 384] float32."""
+    """Resumable slab-wise encode: returns [N, 384] float32.
+
+    The cache is keyed on the encoder checkpoint's fingerprint: slabs from
+    a previous encoder version would otherwise be silently mixed with
+    queries encoded by the NEW checkpoint (mismatched towers — wrong eval
+    numbers attributed to the new encoder)."""
+    import shutil
+
     import numpy as np
 
     os.makedirs(EMB_DIR, exist_ok=True)
+    fingerprint = {
+        k: embedder.meta.get(k) for k in ("steps", "final_loss", "wall_s", "seed")
+    }
+    marker = os.path.join(EMB_DIR, "encoder.json")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != fingerprint
+    if stale:
+        shutil.rmtree(EMB_DIR)
+        os.makedirs(EMB_DIR)
+        with open(marker, "w") as f:
+            json.dump(fingerprint, f)
     slabs = []
     for start in range(0, len(texts), SLAB):
         path = os.path.join(EMB_DIR, f"slab_{start:08d}.npy")

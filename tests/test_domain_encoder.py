@@ -279,3 +279,23 @@ class TestPackagedCheckpoint:
             ["What was ICICI Bank's net profit in Q1 FY2024?"], top_k=3
         )[0]
         assert "icici_q1_fy2024_profitability_analysis" in [h.id for h in hits]
+
+    def test_save_load_keeps_trained_embedder(self, packaged, reference_root, tmp_path):
+        """A persisted trained-backend index must reload with a WORKING
+        embedder — trained is the default backend, so a deployment with
+        RAGFIN_INDEX_DIR would otherwise reload embedder=None and raise on
+        every post-restart query."""
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        idx = DeviceVectorIndex.build(chunks, embedder=packaged)
+        d = str(tmp_path / "idx")
+        idx.save(d)
+        loaded = DeviceVectorIndex.load(d)
+        assert getattr(loaded, "embedder", None) is not None
+        assert loaded.embedder.backend == "trained"
+        q = "What was ICICI Bank's net profit in Q1 FY2024?"
+        assert [h.id for h in loaded.search_texts([q], top_k=3)[0]] == [
+            h.id for h in idx.search_texts([q], top_k=3)[0]
+        ]

@@ -487,3 +487,66 @@ class TestInt8ShadowRerank:
         for r, fam in enumerate(({0, 480, 500}, {1, 481, 501}, {2, 482, 502})):
             assert int(i[r, 0]) in fam
             assert float(np.asarray(s)[r, 0]) > 0.98
+
+
+class TestInt8FilteredRepair:
+    """Round-4 extension of the shadow repair to the FILTERED and
+    tier-group int8 paths: without it, a semantic backend (no sparse
+    re-rank) over a quantized index serves dequantized-int8 order for any
+    masked or tiered search."""
+
+    @pytest.fixture(scope="class")
+    def idx(self):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        rng = np.random.default_rng(11)
+        base = _random_unit(rng, 480, 32)
+        thin = base[:20] + 3e-4 * rng.standard_normal((20, 32)).astype(np.float32)
+        thin /= np.linalg.norm(thin, axis=1, keepdims=True)
+        emb = np.concatenate([base, thin, base[:8].copy()], axis=0)
+        chunks = [
+            IndexedChunk(
+                id=f"c{i:04d}", text=f"chunk {i}",
+                period="Q1_FY2024" if i % 2 == 0 else "Q2_FY2024",
+                chunk_type="profitability_analysis",
+            )
+            for i in range(len(emb))
+        ]
+        idx = DeviceVectorIndex(emb, chunks, dtype="int8", pad_multiple=128)
+        # direct-search surface: encode queries as raw embeddings
+        self_emb = emb
+
+        class _RawEmbedder:
+            featurizer = None
+
+            def encode_texts(self_inner, texts):
+                return np.stack([self_emb[int(t)] for t in texts])
+
+        idx.embedder = _RawEmbedder()
+        return idx, emb
+
+    def test_filtered_search_matches_masked_oracle(self, idx):
+        index, emb = idx
+        even_rows = np.arange(index.n) % 2 == 0
+        masked = index._exact_rows.copy()
+        masked[~even_rows] = 0  # zero rows can never reach a positive top-10
+        hits = index.search_texts([str(i) for i in range(4)], top_k=10,
+                                  period="Q1_FY2024")
+        es, ei = _numpy_oracle(emb[:4], masked.T, 10)
+        for qi in range(4):
+            got = [int(h.id[1:]) for h in hits[qi]]
+            assert got == list(ei[qi]), f"query {qi}: {got} != {list(ei[qi])}"
+            np.testing.assert_allclose(
+                [h.score for h in hits[qi]], es[qi], rtol=1e-5
+            )
+
+    def test_tier_group_matches_filtered(self, idx):
+        index, _ = idx
+        qs = [str(i) for i in range(3)]
+        tiers = [dict(period="Q1_FY2024"), dict(period="Q2_FY2024")]
+        grouped = index.search_texts_tiers(qs, tiers, top_k=8)
+        for ti, flt in enumerate(tiers):
+            solo = index.search_texts(qs, top_k=8, **flt)
+            for qi in range(len(qs)):
+                assert [h.id for h in grouped[ti][qi]] == [h.id for h in solo[qi]]

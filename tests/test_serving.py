@@ -263,3 +263,76 @@ class TestConcurrency:
         db = after.get("batcher.batches", 0) - before_b
         assert dq == 32
         assert db < dq  # coalescing happened
+
+
+class TestConflictOverTheWire:
+    """The conflict flag must survive the FULL RPC stack: a contested
+    scope detected in VectorRAG has to reach the adapter's JSON response
+    (round-4 verdict #3: 'serving responses carry the field')."""
+
+    @pytest.fixture(scope="class")
+    def contested_servers(self, reference_root):
+        import os
+
+        import numpy as np
+
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.distractors import _scale_uniformly
+        from ragfin_tpu.serving.mcp import build_vector_mcp
+        from ragfin_tpu.serving.rest import build_vector_adapter
+
+        real = build_corpus(os.path.join(reference_root, "extract_data"))
+        r = np.random.default_rng(9)
+        gold = [c for c in real if c.period == "Q1_FY2024"]
+        forged = [
+            c.model_copy(
+                update={
+                    "id": f"zz_forged_{i}",
+                    "text": _scale_uniformly(c.text, r),
+                }
+            )
+            for i, c in enumerate(gold)
+        ]
+        settings = Settings(default_model="fake", index_dir="")
+        eng = RagFinEngine(settings, chunks=list(real) + forged)
+        mcp = AppServer(build_vector_mcp(eng).app).start_background()
+        adapter = AppServer(
+            build_vector_adapter(f"http://127.0.0.1:{mcp.port}")
+        ).start_background()
+        yield f"http://127.0.0.1:{adapter.port}"
+        adapter.stop()
+        mcp.stop()
+        eng.close()
+
+    def test_search_response_carries_conflict(self, contested_servers):
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            contested_servers + "/search",
+            data=json.dumps(
+                {"query": "What was ICICI Bank's net profit in Q1 FY2024?", "top_k": 3}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.load(resp)
+        assert body["success"]
+        assert any(hit.get("conflict") for hit in body["results"])
+
+    def test_answer_abstains_over_the_wire(self, contested_servers):
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            contested_servers + "/answer",
+            data=json.dumps(
+                {"question": "What was ICICI Bank's net profit in Q1 FY2024?", "top_k": 3}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.load(resp)
+        assert body["success"]
+        assert body.get("answer_mode") == "conflict"
+        assert "conflicting figure sets" in body["answer"]

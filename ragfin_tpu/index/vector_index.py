@@ -60,6 +60,20 @@ def _pad_queries(q) -> "np.ndarray":
     return np.concatenate([q, np.zeros((b - q.shape[0], q.shape[1]), np.float32)])
 
 
+def _repair_width(k: int) -> int:
+    """Device shortlist width for the int8 exact repair.
+
+    Measured (`int8_quality` probes, pessimistic random corpora, 1M AND
+    10M): every true top-10 member sits within the int8 tier's top-16, so
+    repairing a 16-wide shortlist restores recall@10 = 1.0000 exactly as
+    the original top-64 repair did — and XLA's sort-based top_k over
+    [Q, N] rows is the dominant serving cost of widening (top_k(64) cost
+    ~+40 ms/query at 1M vs top_k(3)). +6 keeps the same measured slack
+    (16 - 10) for larger k.
+    """
+    return max(k + 6, 16)
+
+
 def _exact_rerank_host(q, ids, rows_f32, k: int):
     """Exact f32 re-score of an int8 shortlist against host corpus rows.
 
@@ -244,7 +258,7 @@ class DeviceVectorIndex:
                 )
             # int8 scan for the shortlist, exact host f32 re-score for the
             # order (see __init__: measured 0.972 -> 1.000 recall@10).
-            kr = min(max(64, k), max(self.n, 1))
+            kr = min(_repair_width(k), max(self.n, 1))
             _, ids = cosine_topk_fused_int8(
                 q, self.matrix_t, self.scales, kr, n_valid=self.n
             )
@@ -565,7 +579,7 @@ class DeviceVectorIndex:
                 from ..ops.topk import cosine_topk_dense_int8
 
                 repair = self._repairable(consistency_weight)
-                dev_k = min(max(fetch_k, 64) if repair else fetch_k, max(self.n, 1))
+                dev_k = min(_repair_width(fetch_k) if repair else fetch_k, max(self.n, 1))
                 scores, rows = cosine_topk_dense_int8(
                     jnp.asarray(q, jnp.float32),
                     self.matrix_t,
@@ -860,7 +874,7 @@ class DeviceVectorIndex:
                 from ..ops.topk import cosine_topk_dense_multi_int8
 
                 repair = self._repairable(consistency_weight)
-                dev_k = min(max(fetch_k, 64) if repair else fetch_k, max(self.n, 1))
+                dev_k = min(_repair_width(fetch_k) if repair else fetch_k, max(self.n, 1))
                 s_all, r_all = cosine_topk_dense_multi_int8(
                     jnp.asarray(q, jnp.float32), self.matrix_t, self.scales,
                     dev_k, masks, n_valid=self.n, score_mult=score_mult,

@@ -1159,8 +1159,8 @@ def int8_quality(n: int, q: int = 64) -> None:
                    64 corpus columns/query + one exact dot);
       rr_ms      — wall cost of the re-rank pass (gather + [q,64,D] einsum).
     """
-    k, kr = 10, 64
-    _stage(f"int8_quality N={n}: gen corpus")
+    k, kr = 10, int(os.environ.get("RRK", "64"))  # RRK: repair-shortlist width
+    _stage(f"int8_quality N={n} kr={kr}: gen corpus")
 
     @jax.jit
     def gen(key):
@@ -1241,7 +1241,7 @@ def int8_quality(n: int, q: int = 64) -> None:
         # i8 rows are int8-score-sorted, so columns :k are int8's top-10 picks.
         displ.append(float(se[r].sum() - ex_of_int8[r, :k].sum()))
     line = (
-        f"int8_quality N={n} Q={q}: recall@10={np.mean(recalls):.4f} "
+        f"int8_quality N={n} Q={q} kr={kr}: recall@10={np.mean(recalls):.4f} "
         f"displ={np.mean(displ):.2e} rr_recall@10={np.mean(rr_recalls):.4f} "
         f"rr8_recall@10={np.mean(rr8_recalls):.4f} "
         f"rr_ms={rr_ms:.2f} rr8_ms={rr8_ms:.2f} (cold {rr_ms_cold:.0f}/{rr8_ms_cold:.0f})"

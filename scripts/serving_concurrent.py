@@ -162,6 +162,8 @@ def main() -> None:
         qps = done / wall
         mean_batch = served / batches if batches else 0.0
         tag = "" if backend == "hashed" else f" backend={backend}"
+        if DTYPE != "bfloat16":
+            tag += f" dtype={DTYPE}"
         line = (
             f"serving_concurrent N={N} C={n_clients}{tag}: {qps:,.1f} QPS sustained "
             f"p50={all_lat[len(all_lat)//2]:.0f} ms p95={all_lat[int(len(all_lat)*0.95)]:.0f} ms "

@@ -74,23 +74,10 @@ def _repair_width(k: int) -> int:
     return max(k + 6, 16)
 
 
-def _exact_rerank_host(q, ids, rows_f32, k: int):
-    """Exact f32 re-score of an int8 shortlist against host corpus rows.
-
-    The repair runs on HOST on purpose: a device gather of Q*64 columns
-    from a [384, 10M] HBM table costs ~52 ms (TPU gathers are pathological
-    — CLAUDE.md), while the same fancy-index over a host f32 row matrix is
-    a few ms and costs ZERO HBM (the int8 tier keeps its full capacity
-    win). Returns the top ``k`` by exact score with the oracle tie-break
-    (stable score-descending, lowest global id wins).
-    """
-    ids = np.asarray(ids)
-    qn, kr = ids.shape
-    q = np.asarray(q, np.float32)
-    cand = rows_f32[ids.reshape(-1)].reshape(qn, kr, -1)
-    exact = np.einsum("qd,qkd->qk", q, cand)
-    # Oracle tie-break: pre-sort candidates by id, then a stable sort by
-    # descending score keeps the lowest id first among exact ties.
+def _oracle_truncate(exact, ids, k: int):
+    """Top ``k`` of exact scores with the oracle tie-break (stable
+    score-descending, lowest global id wins) — the ONE implementation both
+    int8 repair paths share, so ties can never diverge between them."""
     by_id = np.argsort(ids, axis=1, kind="stable")
     ids_s = np.take_along_axis(ids, by_id, axis=1)
     ex_s = np.take_along_axis(exact, by_id, axis=1)
@@ -99,6 +86,30 @@ def _exact_rerank_host(q, ids, rows_f32, k: int):
         np.take_along_axis(ex_s, order, axis=1),
         np.take_along_axis(ids_s, order, axis=1),
     )
+
+
+def _exact_rerank_host(q, ids, rows_f32, k: int):
+    """Exact f32 re-score of an int8 shortlist against host corpus rows.
+
+    The repair runs on HOST on purpose: a device gather of Q*16 columns
+    from a [384, 10M] HBM table costs tens of ms (TPU gathers are
+    pathological — CLAUDE.md), while the same fancy-index over a host f32
+    row matrix is a few ms and costs ZERO HBM (the int8 tier keeps its
+    full capacity win). Returns the top ``k`` by exact score with the
+    oracle tie-break.
+    """
+    ids = np.asarray(ids)
+    qn, kr = ids.shape
+    q = np.asarray(q, np.float32)
+    # Sentinel insurance: kernel slots beyond n_valid carry INT32_MAX ids;
+    # clip for the fancy-index and pin their exact score to -inf so they
+    # sort last (mirrors _exact_repair's validity mask).
+    n_rows = rows_f32.shape[0]
+    safe = np.clip(ids, 0, max(n_rows - 1, 0))
+    cand = rows_f32[safe.reshape(-1)].reshape(qn, kr, -1)
+    exact = np.einsum("qd,qkd->qk", q, cand)
+    exact = np.where(ids < n_rows, exact, -np.inf)
+    return _oracle_truncate(exact, ids, k)
 
 
 class SearchHit:
@@ -252,7 +263,10 @@ class DeviceVectorIndex:
         if self.quantized:
             from ..ops.topk import cosine_topk_fused_int8
 
-            if self._exact_rows is None:
+            if self._exact_rows is None or self.n == 0:
+                # No shadow (int8_shadow=False) or empty index: the repair
+                # has nothing to fancy-index (an empty rows matrix would
+                # raise where the raw tier gracefully returns sentinels).
                 return cosine_topk_fused_int8(
                     q, self.matrix_t, self.scales, k, n_valid=self.n
                 )
@@ -515,7 +529,8 @@ class DeviceVectorIndex:
         host (hashed backend only) — removes the JL projection noise that
         dominates ranking among near-duplicates at large corpus scale.
         Filtered searches on a quantized index scan int8 with a widened
-        (>=64) shortlist and exact-repair the order against the host f32
+        shortlist (max(k+6, 16) — measured sufficient for exact repair at
+        1M and 10M) and exact-repair the order against the host f32
         shadow rows (same repair as the unfiltered path; skipped in
         integrity mode, where device scores carry the consistency
         multiplier).
@@ -615,13 +630,13 @@ class DeviceVectorIndex:
 
         The unfiltered path repairs through search_embeddings (see
         __init__: int8 id agreement vs the f32 oracle is 0.972@10; the
-        host-f32 re-score of a top-64 shortlist measured 1.000) — this is
-        the same repair for the masked/tier paths, which would otherwise
-        serve dequantized-int8 order whenever a semantic backend (no
-        sparse re-rank) runs over a quantized index. Only entries the
-        device scored FINITE are re-scored: a masked-out row must never
-        re-enter on its raw cosine. Returns (scores, rows) truncated to
-        ``keep`` with the oracle tie-break.
+        host-f32 re-score of a 16-wide shortlist measured 1.000 at 1M and
+        10M) — this is the same repair for the masked/tier paths, which
+        would otherwise serve dequantized-int8 order whenever a semantic
+        backend (no sparse re-rank) runs over a quantized index. Only
+        entries the device scored FINITE are re-scored: a masked-out row
+        must never re-enter on its raw cosine. Returns (scores, rows)
+        truncated to ``keep`` with the oracle tie-break.
         """
         scores = np.asarray(scores)
         rows = np.asarray(rows)
@@ -631,23 +646,21 @@ class DeviceVectorIndex:
         exact = np.einsum("qd,qkd->qk", q, cand)
         valid = np.isfinite(scores) & (rows < self.n)
         exact = np.where(valid, exact, -np.inf)
-        by_id = np.argsort(rows, axis=1, kind="stable")
-        ids_s = np.take_along_axis(rows, by_id, axis=1)
-        ex_s = np.take_along_axis(exact, by_id, axis=1)
-        order = np.argsort(-ex_s, axis=1, kind="stable")[:, :keep]
-        return (
-            np.take_along_axis(ex_s, order, axis=1),
-            np.take_along_axis(ids_s, order, axis=1),
-        )
+        return _oracle_truncate(exact, rows, keep)
 
     def _repairable(self, consistency_weight: float) -> bool:
-        """Whether the filtered int8 paths should widen the device fetch to
-        >=64 and exact-repair on host. Off in integrity mode: the device
-        scores carry the consistency multiplier, which a raw-cosine
-        re-score would silently strip."""
+        """Whether the filtered int8 paths should widen the device fetch
+        (to ``_repair_width``: max(k+6, 16)) and exact-repair on host.
+        Off in integrity mode: the device scores carry the consistency
+        multiplier, which a raw-cosine re-score would silently strip.
+        Off on an EMPTY index: the shadow row matrix has zero rows, so
+        the repair's fancy-index would raise where the device path
+        gracefully returns no hits."""
         return (
             self.quantized
+            and self.n > 0
             and self._exact_rows is not None
+            and self._exact_rows.size > 0
             and consistency_weight <= 0
         )
 

@@ -201,6 +201,22 @@ class RagFinEngine:
                             q, reps, e,
                         )
                         break
+        # Semantic backends also compile per SEQUENCE bucket ({64, 128,
+        # 192} — TrainedEmbedder pads interactive calls to 64-token
+        # multiples). The scoped/unscoped warmups above are short (bucket
+        # 64); warm the long buckets too or the first long user query
+        # stalls on a mid-serving remote compile.
+        embedder = getattr(self.vector_index, "embedder", None)
+        if embedder is not None and hasattr(embedder, "tokenizer"):
+            max_len = getattr(embedder.tokenizer, "max_len", 192) or 192
+            long_text = "warmup " * max_len  # tokenizer truncates at max_len
+            mid_text = "warmup " * 96
+            for text in (mid_text, long_text):
+                for reps in (1, 8, 64):  # row buckets x seq buckets
+                    try:
+                        embedder.encode_texts([text] * reps)
+                    except Exception:
+                        break
         if self.settings.integrity_weight > 0 and hasattr(
             self.vector_index, "integrity_column"
         ):

@@ -550,3 +550,37 @@ class TestInt8FilteredRepair:
             solo = index.search_texts(qs, top_k=8, **flt)
             for qi in range(len(qs)):
                 assert [h.id for h in grouped[ti][qi]] == [h.id for h in solo[qi]]
+
+
+class TestInt8EmptyIndex:
+    """An empty quantized index must return empty results, not crash in
+    the exact repair's fancy-index (review finding: n=0 + int8_shadow=True
+    raised IndexError on every filtered search)."""
+
+    def _empty(self):
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.models.embedder import HashedEmbedder
+        from ragfin_tpu.models.featurizer import HashedFeaturizer
+
+        idx = DeviceVectorIndex(
+            np.zeros((0, 384), np.float32), [], dtype="int8", pad_multiple=128
+        )
+        feat = HashedFeaturizer()
+        feat.fit(["placeholder vocabulary text"])
+        idx.embedder = HashedEmbedder(featurizer=feat)
+        idx.featurizer = feat
+        return idx
+
+    def test_unfiltered_empty(self):
+        idx = self._empty()
+        s, i = idx.search_embeddings(np.zeros((2, 384), np.float32), top_k=3)
+        assert np.asarray(s).shape[0] == 2
+
+    def test_filtered_empty(self):
+        idx = self._empty()
+        assert idx.search_texts(["anything"], top_k=3, period="Q1_FY2024") == [[]]
+
+    def test_tiers_empty(self):
+        idx = self._empty()
+        out = idx.search_texts_tiers(["anything"], [dict(period="Q1_FY2024")], top_k=3)
+        assert out == [[[]]]

@@ -154,6 +154,42 @@ def to_research_summary(report: EvalReport, system_type: str = "ragfin_tpu_exact
     }
 
 
+def tie_aware_agreement(exact_wide, approx_ids, k: int = 10, eps: float = 1e-5):
+    """Agreement between an approximate retriever and the exact arm, scored
+    ENTIRELY in the exact arm's score scale.
+
+    ``exact_wide``: per-query exact results as ``[(id, score), ...]`` sorted
+    score-descending, WIDER than ``k`` — the tie set is read off its tail.
+    ``approx_ids``: per-query approximate result ids. Approximate-tier scores
+    are deliberately not accepted: an approximate system's score scale (e.g.
+    IVF's int8 cell scores) must never be compared against exact f32 scores —
+    that cross-system epsilon polluted the round-4 tie metric.
+
+    Returns ``(overlap, tie_aware, truncated)``: plain mean overlap@k; mean
+    tie-aware agreement, where an approx id counts iff its EXACT score
+    reaches the exact k-th score minus ``eps`` (template near-duplicates
+    embed nearly identically, so any member of the exact tie group at rank
+    <= k is an equally-correct answer and overlap@k alone is ill-defined);
+    and the number of queries whose tie group ran past the wide list (the
+    tie-aware number undercounts there — re-run with a wider exact search).
+    """
+    overlaps, ties_frac, truncated = [], [], 0
+    for hits, a_ids in zip(exact_wide, approx_ids):
+        top = list(hits[:k])
+        if not top:
+            continue
+        e_ids = {i for i, _ in top}
+        floor = min(s for _, s in top) - eps
+        tie_set = {i for i, s in hits if s >= floor}
+        if len(hits) > k and hits[-1][1] >= floor:
+            truncated += 1
+        a = set(a_ids)
+        overlaps.append(len(a & e_ids) / len(e_ids))
+        ties_frac.append(len(a & tie_set) / len(e_ids))
+    n = max(len(overlaps), 1)
+    return sum(overlaps) / n, sum(ties_frac) / n, truncated
+
+
 def evaluate_retrieval(
     index,
     questions: Sequence[EvalQuestion],

@@ -138,12 +138,27 @@ def main() -> None:
         with open(OUT, "w") as f:
             json.dump(out, f, indent=2)
 
-    run_arm("qa_subset_k3_trained", qa, fs, 3)
-    run_arm("qa_subset_k10_trained", qa, fs, 10)
-    run_arm("paraphrases_k10_trained", para, fs, 10)
-    run_arm("vector_eval_k10_trained", ve, fs, 10)
-    run_arm("qa_subset_k10_raw_trained", qa, idx, 10)
-    run_arm("paraphrases_k10_raw_trained", para, idx, 10)
+    # ARMS=ivf (comma list) re-runs a subset against the slab cache without
+    # paying for the full battery; results merge into the existing artifact.
+    arms = set(filter(None, os.environ.get("ARMS", "all").split(",")))
+    if os.path.exists(OUT) and arms != {"all"}:
+        with open(OUT) as f:
+            prev = json.load(f)
+        out["results"].update(prev.get("results", {}))
+
+    if arms & {"all", "pipeline"}:
+        run_arm("qa_subset_k3_trained", qa, fs, 3)
+        run_arm("qa_subset_k10_trained", qa, fs, 10)
+        run_arm("paraphrases_k10_trained", para, fs, 10)
+        run_arm("vector_eval_k10_trained", ve, fs, 10)
+    if arms & {"all", "raw"}:
+        run_arm("qa_subset_k10_raw_trained", qa, idx, 10)
+        run_arm("paraphrases_k10_raw_trained", para, idx, 10)
+    if not arms & {"all", "ivf"}:
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", OUT)
+        return
 
     # IVF on clustered semantic embeddings (round-3 verdict: re-judge IVF
     # once embeddings actually cluster).
@@ -154,8 +169,19 @@ def main() -> None:
         ivf = IVFVectorIndex.from_dense(idx, cell=2048, iters=3)
         n_cells = ivf.ivf.n_cells
         build_s = time.perf_counter() - t
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
         questions = [q.question for q in qa]
-        exact = idx.search_texts(questions, top_k=10)
+        # Tie-aware agreement, scored ENTIRELY in the exact arm's f32 scale
+        # (round-4 gap: the old check compared IVF's int8 cell scores to the
+        # exact f32 floor, so cross-system score epsilon leaked into the
+        # metric). One wide exact search defines the tie SET: every corpus id
+        # whose exact score reaches the exact 10th score minus a tie epsilon.
+        WIDE = 128
+        exact_wide = [
+            [(h.id, h.score) for h in hits]
+            for hits in idx.search_texts(questions, top_k=WIDE)
+        ]
         curve = {}
         for nprobe in sorted(
             {max(2, n_cells // 32), max(2, n_cells // 8), max(2, n_cells // 4), n_cells}
@@ -163,24 +189,13 @@ def main() -> None:
             t = time.perf_counter()
             approx = ivf.search_texts(questions, top_k=10, nprobe=nprobe)
             wall = time.perf_counter() - t
-            overlaps, tie_aware = [], []
-            for e_hits, a_hits in zip(exact, approx):
-                e_ids = {h.id for h in e_hits}
-                if not e_ids:
-                    continue
-                a_ids = {h.id for h in a_hits}
-                overlaps.append(len(e_ids & a_ids) / len(e_ids))
-                # Tie-aware agreement: template near-duplicates embed almost
-                # identically, so among exact score ties overlap@10 is
-                # ill-defined (any tie member is an equally-correct answer).
-                # Count an approx hit as agreeing if its score reaches the
-                # exact list's k-th score minus a tie epsilon.
-                floor = min(h.score for h in e_hits) - 1e-5
-                ok = sum(1 for h in a_hits if h.id in e_ids or h.score >= floor)
-                tie_aware.append(ok / len(e_ids))
+            overlap, tie_aware, trunc = tie_aware_agreement(
+                exact_wide, [[h.id for h in hits] for hits in approx], k=10
+            )
             curve[nprobe] = {
-                "overlap": round(float(np.mean(overlaps)) if overlaps else 0.0, 4),
-                "tie_aware": round(float(np.mean(tie_aware)) if tie_aware else 0.0, 4),
+                "overlap": round(overlap, 4),
+                "tie_aware": round(tie_aware, 4),
+                "tie_truncated": trunc,
                 "wall_s": round(wall, 2),
             }
         out["results"]["ivf_vs_exact_overlap@10_trained"] = {

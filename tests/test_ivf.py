@@ -283,3 +283,54 @@ class TestMixedBatchProbing:
             return np.mean([len(set(got[r]) & set(exact[r])) / 10 for r in range(len(qs))])
 
         assert recall(8) >= recall(128) - 0.01
+
+
+class TestTieAwareAgreement:
+    """Pure-function tests for eval.harness.tie_aware_agreement — the
+    exact-scale tie metric (round-4 gap: the old script compared IVF's int8
+    cell scores against the exact f32 floor; this one never sees an
+    approximate score at all)."""
+
+    def test_exact_match_is_perfect(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        wide = [[(f"c{i}", 1.0 - 0.01 * i) for i in range(20)]]
+        approx = [[f"c{i}" for i in range(10)]]
+        overlap, tie, trunc = tie_aware_agreement(wide, approx, k=10)
+        assert overlap == 1.0 and tie == 1.0 and trunc == 0
+
+    def test_tie_member_swap_counts_for_tie_metric_only(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        # Ranks 5..14 all tie at the k-th score: swapping rank 9 for rank 12
+        # is an equally-correct answer — overlap drops, tie-aware does not.
+        scores = [1.0 - 0.01 * i for i in range(5)] + [0.5] * 10 + [0.1] * 5
+        wide = [[(f"c{i}", s) for i, s in enumerate(scores)]]
+        approx = [[f"c{i}" for i in range(9)] + ["c12"]]
+        overlap, tie, trunc = tie_aware_agreement(wide, approx, k=10)
+        assert overlap == 0.9
+        assert tie == 1.0
+        assert trunc == 0
+
+    def test_genuine_miss_fails_both(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        wide = [[(f"c{i}", 1.0 - 0.01 * i) for i in range(20)]]
+        approx = [[f"c{i}" for i in range(9)] + ["c19"]]  # 0.81 << floor 0.91
+        overlap, tie, _ = tie_aware_agreement(wide, approx, k=10)
+        assert overlap == 0.9 and tie == 0.9
+
+    def test_truncated_tie_group_reported(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        # Every wide slot ties: the group may extend past the list.
+        wide = [[(f"c{i}", 0.5) for i in range(16)]]
+        approx = [[f"c{i}" for i in range(10)]]
+        _, tie, trunc = tie_aware_agreement(wide, approx, k=10)
+        assert tie == 1.0 and trunc == 1
+
+    def test_empty_query_skipped(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        overlap, tie, trunc = tie_aware_agreement([[]], [[]], k=10)
+        assert overlap == 0.0 and tie == 0.0 and trunc == 0

@@ -154,16 +154,26 @@ def to_research_summary(report: EvalReport, system_type: str = "ragfin_tpu_exact
     }
 
 
-def tie_aware_agreement(exact_wide, approx_ids, k: int = 10, eps: float = 1e-5):
+def tie_aware_agreement(
+    exact_wide, approx_ids, k: int = 10, eps: float = 1e-5, wide: Optional[int] = None
+):
     """Agreement between an approximate retriever and the exact arm, scored
     ENTIRELY in the exact arm's score scale.
 
     ``exact_wide``: per-query exact results as ``[(id, score), ...]`` sorted
     score-descending, WIDER than ``k`` — the tie set is read off its tail.
-    ``approx_ids``: per-query approximate result ids. Approximate-tier scores
+    ``approx_ids``: per-query approximate result ids; only the first ``k``
+    are scored (longer lists would otherwise push tie_aware above 1.0 when
+    tie groups are large — round-4 advisor finding). Approximate-tier scores
     are deliberately not accepted: an approximate system's score scale (e.g.
     IVF's int8 cell scores) must never be compared against exact f32 scores —
     that cross-system epsilon polluted the round-4 tie metric.
+
+    ``wide`` is the width the exact search was ASKED for. With it, a query
+    counts as truncated only when its list actually reached that width AND
+    the last score still ties — a shorter list means the corpus was
+    exhausted and the tie group is complete (round-4 advisor finding).
+    Without it, any tying last score flags (conservative over-count).
 
     Returns ``(overlap, tie_aware, truncated)``: plain mean overlap@k; mean
     tie-aware agreement, where an approx id counts iff its EXACT score
@@ -181,9 +191,10 @@ def tie_aware_agreement(exact_wide, approx_ids, k: int = 10, eps: float = 1e-5):
         e_ids = {i for i, _ in top}
         floor = min(s for _, s in top) - eps
         tie_set = {i for i, s in hits if s >= floor}
-        if len(hits) > k and hits[-1][1] >= floor:
+        reached_wide = len(hits) >= wide if wide is not None else len(hits) > k
+        if reached_wide and hits[-1][1] >= floor:
             truncated += 1
-        a = set(a_ids)
+        a = set(list(a_ids)[:k])
         overlaps.append(len(a & e_ids) / len(e_ids))
         ties_frac.append(len(a & tie_set) / len(e_ids))
     n = max(len(overlaps), 1)

@@ -190,7 +190,7 @@ def main() -> None:
             approx = ivf.search_texts(questions, top_k=10, nprobe=nprobe)
             wall = time.perf_counter() - t
             overlap, tie_aware, trunc = tie_aware_agreement(
-                exact_wide, [[h.id for h in hits] for hits in approx], k=10
+                exact_wide, [[h.id for h in hits] for hits in approx], k=10, wide=WIDE
             )
             curve[nprobe] = {
                 "overlap": round(overlap, 4),

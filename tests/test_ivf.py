@@ -203,6 +203,134 @@ class TestSearch:
         assert int(np.max(np.asarray(i))) < 2000  # never a pad id
 
 
+class TestExactRepair:
+    """IVF host exact rerank (round-4 verdict #3): full probe + repair must
+    EQUAL exact search — ids, scores, and tie-breaks — because full probe
+    scans every cell and the repair replaces kernel-precision scores with
+    exact f32 host scores under the oracle tie-break. The round-4 residual
+    (full-probe overlap 0.795 on trained embeddings) was precisely this
+    epsilon + tie degeneracy."""
+
+    def _tie_corpus(self, seed=5, n=1024, d=64, dupes=6):
+        """Corpus with exact-duplicate row groups (tie degeneracy: the
+        trained encoder's collapse_numbers maps figure-perturbed template
+        chunks to identical embeddings)."""
+        rng = np.random.default_rng(seed)
+        base = _unit(rng, n, d)
+        # Duplicate the first `dupes` rows 4x at scattered positions.
+        stride = max(n // 4, dupes)
+        for g in range(dupes):
+            for rep in range(1, 4):
+                base[g + rep * stride] = base[g]
+        return base
+
+    def _oracle(self, q, rows, k):
+        """numpy exact oracle with the production tie-break (stable
+        score-descending, lowest id wins)."""
+        scores = q @ rows.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, order, axis=1), order
+
+    def test_full_probe_plus_repair_equals_exact_int8(self):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+        rows = self._tie_corpus()
+        records = [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q1_FY2024",
+                chunk_type="profitability_analysis", statement_type="consolidated",
+                primary_value=float(i),
+            )
+            for i in range(rows.shape[0])
+        ]
+        ivf = IVFVectorIndex.build(rows.copy(), records, cell=128, iters=2, quantize=True)
+        assert ivf._exact_rows is not None
+        rng = np.random.default_rng(8)
+        # Queries AT duplicated rows: top-k contains exact-tie groups.
+        q = rows[[0, 1, 2, 100, 101, 3]] + 0.01 * rng.standard_normal((6, rows.shape[1]))
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+        s, i = ivf.search_embeddings(q, top_k=10, nprobe=ivf.ivf.n_cells)
+        es, ei = self._oracle(q, np.asarray(ivf._exact_rows), 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-6, atol=1e-6)
+
+    def test_repair_off_matches_raw_kernel(self):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+        rows = self._tie_corpus(seed=6)
+        records = [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q1_FY2024",
+                chunk_type="financial_ratios", statement_type="consolidated",
+                primary_value=float(i),
+            )
+            for i in range(rows.shape[0])
+        ]
+        ivf = IVFVectorIndex.build(rows.copy(), records, cell=128, iters=1, quantize=True)
+        q = rows[:4]
+        s_raw, i_raw = ivf.search_embeddings(q, top_k=5, exact_repair=False)
+        s_k, i_k = ivf_topk(jnp.asarray(q, jnp.float32), ivf.ivf, 5, nprobe=ivf.nprobe, block_q=8)
+        np.testing.assert_array_equal(np.asarray(i_raw), np.asarray(i_k))
+
+    def test_exact_rows_survive_save_load(self, tmp_path):
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+
+        rows = self._tie_corpus(seed=7, n=256)
+        records = [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q2_FY2024",
+                chunk_type="segment_analysis", statement_type="consolidated",
+                primary_value=float(i),
+            )
+            for i in range(rows.shape[0])
+        ]
+        ivf = IVFVectorIndex.build(rows.copy(), records, cell=64, iters=1, quantize=True)
+        ivf.save(str(tmp_path / "ivfrr"))
+        back = IVFVectorIndex.load(str(tmp_path / "ivfrr"))
+        assert back._exact_rows is not None
+        assert back.stats()["exact_repair"] is True
+        q = rows[:3]
+        s1, i1 = ivf.search_embeddings(q, top_k=5, nprobe=ivf.ivf.n_cells)
+        s2, i2 = back.search_embeddings(q, top_k=5, nprobe=back.ivf.n_cells)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_no_shadow_opt_out(self):
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        dense = DeviceVectorIndex.build(build_corpus("/root/reference/extract_data"))
+        ivf = IVFVectorIndex.from_dense(dense, cell=8, nprobe=8, iters=1, exact_shadow=False)
+        assert ivf._exact_rows is None
+        assert ivf.stats()["exact_repair"] is False
+        hits = ivf.search_texts(["net profit Q1 FY2024"], top_k=3)[0]
+        assert hits
+
+    def test_from_dense_reuses_dense_shadow(self):
+        """A quantized dense index already holds f32 shadow rows — from_dense
+        must reuse them (no device→host transfer, bitwise-identical repair
+        basis across tiers)."""
+        from ragfin_tpu.data.models import IndexedChunk
+        from ragfin_tpu.index.ivf_index import IVFVectorIndex
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+
+        rows = self._tie_corpus(seed=9, n=256)
+        records = [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q3_FY2024",
+                chunk_type="balance_sheet_analysis", statement_type="consolidated",
+                primary_value=float(i),
+            )
+            for i in range(rows.shape[0])
+        ]
+        dense = DeviceVectorIndex(rows.copy(), records, dtype=jnp.int8)
+        ivf = IVFVectorIndex.from_dense(dense, cell=64, iters=1)
+        assert ivf._exact_rows is dense._exact_rows
+
+
 class TestEngineIntegration:
     def test_engine_serves_ivf_index(self, reference_root):
         """RAGFIN_INDEX_TYPE=ivf: the engine builds an IVFVectorIndex (the
@@ -334,3 +462,27 @@ class TestTieAwareAgreement:
 
         overlap, tie, trunc = tie_aware_agreement([[]], [[]], k=10)
         assert overlap == 0.0 and tie == 0.0 and trunc == 0
+
+    def test_long_approx_list_capped_at_k(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        # 15-wide tie group; a caller passing a 15-long approx list must not
+        # score above 1.0 (round-4 advisor: len(a & tie_set) was unbounded).
+        wide = [[(f"c{i}", 0.5) for i in range(15)] + [("c15", 0.1)]]
+        approx = [[f"c{i}" for i in range(15)]]
+        overlap, tie, _ = tie_aware_agreement(wide, approx, k=10)
+        assert overlap == 1.0 and tie == 1.0
+
+    def test_exhausted_corpus_not_flagged_truncated(self):
+        from ragfin_tpu.eval.harness import tie_aware_agreement
+
+        # The exact search asked for wide=128 but the corpus only has 16
+        # candidates: the tie group is COMPLETE even though the last score
+        # ties (round-4 advisor: truncation false-positive).
+        wide_list = [[(f"c{i}", 0.5) for i in range(16)]]
+        approx = [[f"c{i}" for i in range(10)]]
+        _, tie, trunc = tie_aware_agreement(wide_list, approx, k=10, wide=128)
+        assert tie == 1.0 and trunc == 0
+        # Same list, wide actually reached: still flagged.
+        _, _, trunc2 = tie_aware_agreement(wide_list, approx, k=10, wide=16)
+        assert trunc2 == 1

@@ -24,6 +24,7 @@ from ..data.models import IndexedChunk
 from ..models.bag_encoder import l2_normalize
 from ..ops.ivf import IVFIndex, build_ivf, ivf_topk
 from ..ops.topk import _INT_MAX
+from .vector_index import _exact_rerank_host, _repair_width
 
 
 class IVFVectorIndex:
@@ -39,6 +40,7 @@ class IVFVectorIndex:
         records: Sequence[IndexedChunk],
         nprobe: int = 32,
         name: str = "fin_chunks_ivf",
+        exact_rows=None,
     ):
         self.ivf = ivf
         self.records = list(records)
@@ -50,6 +52,21 @@ class IVFVectorIndex:
         self.embedder = None
         self.featurizer = None
         self.encoder = None
+        # Exact-repair shadow (round-4 verdict #3): pre-quantization f32/f16
+        # rows in ORIGINAL id order, kept on HOST. The IVF kernel scores its
+        # cells at fast/int8 precision; near-tie shortlist members land in
+        # kernel-score order, which diverges from the exact f32 order by a
+        # score epsilon — exactly the dense int8 tier's pathology, repaired
+        # the same way (vector_index._exact_rerank_host): the device returns
+        # a widened shortlist, the host re-scores it exactly and applies the
+        # oracle tie-break. Full probe + repair == exact search.
+        if exact_rows is not None:
+            exact_rows = np.asarray(exact_rows)
+            if exact_rows.shape[0] != self.n:
+                raise ValueError(
+                    f"exact_rows rows ({exact_rows.shape[0]}) != n_valid ({self.n})"
+                )
+        self._exact_rows = exact_rows
 
     supports_filters = False  # filters defeat cluster pruning (see module doc)
 
@@ -71,18 +88,28 @@ class IVFVectorIndex:
         iters: int = 4,
         quantize: Optional[bool] = None,
         seed: int = 0,
+        exact_shadow: bool = True,
         **kwargs,
     ) -> "IVFVectorIndex":
         """Cluster an existing DeviceVectorIndex (keeps its embedder and
-        quantization tier unless ``quantize`` overrides)."""
+        quantization tier unless ``quantize`` overrides).
+
+        ``exact_shadow`` keeps host f32 rows for the exact shortlist repair
+        (default on, mirroring the dense int8 tier); the dense index's own
+        shadow is reused when present, else one device→host transfer."""
         if quantize is None:
             quantize = bool(getattr(index, "quantized", False))
         if getattr(index, "quantized", False):
             dense = (index.matrix_t.astype(jnp.float32) * index.scales)[:, : index.n]
         else:
             dense = index.matrix_t[:, : index.n].astype(jnp.float32)
+        rows = None
+        if exact_shadow:
+            rows = getattr(index, "_exact_rows", None)
+            if rows is None:
+                rows = np.asarray(dense.T, np.float32)
         ivf = build_ivf(dense, cell=cell, iters=iters, seed=seed, quantize=quantize)
-        out = cls(ivf, index.records, nprobe=nprobe, **kwargs)
+        out = cls(ivf, index.records, nprobe=nprobe, exact_rows=rows, **kwargs)
         out.embedder = getattr(index, "embedder", None)
         # The hashed backend encodes queries with featurizer+encoder, not an
         # embedder object — carry both so search_texts works either way
@@ -102,6 +129,7 @@ class IVFVectorIndex:
         quantize: bool = False,
         normalize: bool = True,
         seed: int = 0,
+        exact_shadow: bool = True,
         **kwargs,
     ) -> "IVFVectorIndex":
         embeddings = jnp.asarray(embeddings, jnp.float32)
@@ -110,7 +138,8 @@ class IVFVectorIndex:
         ivf = build_ivf(
             jnp.asarray(embeddings.T), cell=cell, iters=iters, seed=seed, quantize=quantize
         )
-        return cls(ivf, records, nprobe=nprobe, **kwargs)
+        rows = np.asarray(embeddings, np.float32) if exact_shadow else None
+        return cls(ivf, records, nprobe=nprobe, exact_rows=rows, **kwargs)
 
     # --- search ----------------------------------------------------------
     def search_embeddings(
@@ -119,6 +148,7 @@ class IVFVectorIndex:
         top_k: int = 3,
         nprobe: Optional[int] = None,
         block_q: int = 8,
+        exact_repair: Optional[bool] = None,
     ):
         """Cluster-pruned search.
 
@@ -131,12 +161,29 @@ class IVFVectorIndex:
         first, so same-region queries still coalesce into shared tiles;
         callers that KNOW their batch is homogeneous can raise ``block_q``
         for fewer grid steps.
+
+        ``exact_repair`` (default: on whenever the exact-rows shadow exists)
+        widens the device shortlist and exactly re-scores it on host,
+        removing kernel-precision score epsilon from the results: residual
+        error is then PURELY cluster pruning (a true neighbor in an unprobed
+        cell), and full probe equals exact search (tested).
         """
         q = jnp.asarray(query_embeddings, jnp.float32)
         k = min(top_k, max(self.n, 1))
-        return ivf_topk(
-            q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q
+        repair = (
+            self._exact_rows is not None and self.n > 0
+            if exact_repair is None
+            else exact_repair and self._exact_rows is not None and self.n > 0
         )
+        if not repair:
+            return ivf_topk(
+                q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q
+            )
+        kr = min(_repair_width(k), max(self.n, 1))
+        _, ids = ivf_topk(
+            q, self.ivf, kr, nprobe=nprobe or self.nprobe, block_q=block_q
+        )
+        return _exact_rerank_host(np.asarray(q, np.float32), np.asarray(ids), self._exact_rows, k)
 
     def search_texts(
         self,
@@ -193,6 +240,7 @@ class IVFVectorIndex:
             "cell_size": self.ivf.cell,
             "nprobe": self.nprobe,
             "quantized": self.ivf.scales is not None,
+            "exact_repair": self._exact_rows is not None,
         }
 
     # --- persistence -------------------------------------------------------
@@ -203,6 +251,11 @@ class IVFVectorIndex:
             "centroids": np.asarray(self.ivf.centroids),
             "orig_ids": np.asarray(self.ivf.orig_ids),
         }
+        if self._exact_rows is not None:
+            # f16 halves the disk cost; the repair einsum upcasts to f32
+            # (quantization-epsilon-free relative to the f32 rows at the
+            # score magnitudes in play: unit-norm dot products in [-1, 1]).
+            arrays["exact_rows_f16"] = np.asarray(self._exact_rows, np.float16)
         if cells.dtype == np.int8:
             arrays["cells_i8"] = cells
             arrays["scales"] = np.asarray(self.ivf.scales)
@@ -273,7 +326,11 @@ class IVFVectorIndex:
             n_valid=int(meta["n_valid"]),
         )
         records = [IndexedChunk(**r) for r in meta["records"]]
-        out = cls(ivf, records, nprobe=int(meta["nprobe"]), name=meta.get("name", "fin_chunks_ivf"))
+        rows = data["exact_rows_f16"] if "exact_rows_f16" in data else None
+        out = cls(
+            ivf, records, nprobe=int(meta["nprobe"]),
+            name=meta.get("name", "fin_chunks_ivf"), exact_rows=rows,
+        )
         tpath = os.path.join(directory, "encoder_table.npy")
         # Only attach the table when the saved state says the encoder was
         # tuned — a stale file from an earlier tuned save must not override

@@ -43,6 +43,7 @@ class VectorRAG:
         smart_retrieval: bool = True,
         integrity_weight: Optional[float] = None,
         conflict_detection: bool = True,
+        detection_fetch_k: int = 32,
     ):
         self.index = index
         self.provider = provider
@@ -78,7 +79,17 @@ class VectorRAG:
         # observable that scale-consistent tampering and fabrication cannot
         # avoid. Annotation only changes metadata + the abstention decision,
         # never ranking. Cache keyed by immutable chunk id.
+        #
+        # Detection runs over a WIDENED shortlist (``detection_fetch_k``,
+        # independent of the user's top_k — round-4 verdict #4): at top_k=3
+        # the forged and authentic members of one scope rarely co-occur in
+        # the returned slice, so the top-hit flag rate trailed the any-scope
+        # rate by ~0.15 (0.75 vs 0.90 scaled, 0.825 vs 0.975 fabrication at
+        # 1M). The contradiction is in the corpus either way; fetching 32
+        # candidates for detection (results still trim to top_k) lets the
+        # detector see it whenever it is visible at all.
         self.conflict_detection = conflict_detection
+        self.detection_fetch_k = detection_fetch_k
         self._figure_cache: dict = {}
 
     def _search_texts(self, queries, top_k: int):
@@ -104,29 +115,46 @@ class VectorRAG:
             self._analyst = AnalyticalAnswerer(self.index.records)
         return self._analyst
 
-    def _annotate_conflicts(self, hits) -> list[tuple]:
-        """Mark hits whose scope is contested; returns the contested scopes
-        (empty when detection is off or nothing conflicts)."""
+    def _detection_fetch(self, top_k: int) -> int:
+        """Shortlist width fetched from the index: the user's top_k, widened
+        to the detection window when conflict detection is on."""
+        if not self.conflict_detection:
+            return top_k
+        return max(top_k, self.detection_fetch_k)
+
+    def _annotate_conflicts(self, hits, returned=None) -> list[tuple]:
+        """Detect contested scopes over ``hits`` (the WIDE detection list)
+        and mark members of ``returned`` (default: ``hits``) whose scope is
+        contested. Returns the contested scopes present among the returned
+        hits (empty when detection is off or nothing conflicts)."""
         if not self.conflict_detection or not hits:
             return []
         from .conflict import detect_conflicts
 
+        if returned is None:
+            returned = hits
         scopes = detect_conflicts(hits, cache=self._figure_cache)
-        contested = [key for key, info in scopes.items() if info["conflict"]]
-        if contested:
-            contested_set = set(contested)
-            for h in hits:
-                rec = h.record
-                if (rec.company, rec.period, rec.chunk_type) in contested_set:
-                    h.conflict = True
+        contested_set = {key for key, info in scopes.items() if info["conflict"]}
+        if not contested_set:
+            return []
+        present = []
+        for h in returned:
+            rec = h.record
+            key = (rec.company, rec.period, rec.chunk_type)
+            if key in contested_set:
+                h.conflict = True
+                if key not in present:
+                    present.append(key)
+        if present:
             METRICS.incr("vector.conflicts_flagged")
-        return contested
+        return present
 
     # --- search (MCP tool `search_vectors` contract) ----------------------
     def search(self, query: str, top_k: int = 3) -> list[dict[str, Any]]:
         with METRICS.timed("vector.search"):
-            hits = self._search_one(query, top_k)
-        self._annotate_conflicts(hits)
+            wide = self._search_one(query, self._detection_fetch(top_k))
+        hits = wide[:top_k]
+        self._annotate_conflicts(wide, returned=hits)
         return [h.to_dict() for h in hits]
 
     def search_batch(self, queries: Sequence[str], top_k: int = 3) -> list[list[SearchHit]]:
@@ -142,8 +170,11 @@ class VectorRAG:
             # answer_question calls (defeating the micro-batcher, which
             # exists to coalesce them) and stall every other async tool
             # behind a single degraded-tunnel query. Run it off-loop.
-            hits = await asyncio.to_thread(self._search_one, question, top_k)
-        contested = self._annotate_conflicts(hits)
+            wide = await asyncio.to_thread(
+                self._search_one, question, self._detection_fetch(top_k)
+            )
+        hits = wide[:top_k]
+        contested = self._annotate_conflicts(wide, returned=hits)
         contexts = [h.record.text for h in hits]
         result = {
             "question": question,

@@ -202,6 +202,44 @@ class TestVectorRAGIntegration:
         assert "conflict" not in result
         assert result["answer_mode"] == "extractive"
 
+    def test_widened_detection_catches_deep_contradiction(self, real_chunks):
+        """Round-4 verdict #4: the abstention trigger must fire when the top
+        hit's scope is contested ANYWHERE in the widened detection window,
+        not only within the user's top_k slice. The forged copy of the gold
+        profitability chunk ranks #2 (below the gold), so at top_k=1 the
+        returned slice never contains the contradicting pair — a narrow
+        detector cannot see it, the 32-wide one must flag the top hit."""
+        import asyncio
+
+        from ragfin_tpu.index.vector_index import DeviceVectorIndex
+        from ragfin_tpu.retrieval.vector_rag import VectorRAG
+
+        r = np.random.default_rng(7)
+        gold = [c for c in real_chunks if c.period == "Q1_FY2024"]
+        prof = next(c for c in gold if c.chunk_type == "profitability_analysis")
+        forged = [
+            _chunk(
+                "zz_deep_forged", _scale_uniformly(prof.text, r),
+                prof.period, prof.chunk_type,
+            )
+        ]
+        idx = DeviceVectorIndex.build(list(real_chunks) + forged)
+        rag = VectorRAG(idx)
+        question = "What was ICICI Bank's net profit in Q1 FY2024?"
+        hits1 = rag._search_texts([question], 1)[0]
+        # The contradicting PAIR cannot fit a 1-wide slice: whichever member
+        # ranks first, a detector confined to the returned hits is blind.
+        assert len(hits1) == 1 and hits1[0].record.chunk_type == "profitability_analysis"
+        result = asyncio.run(rag.search_and_answer(question, top_k=1))
+        assert result.get("conflict") is True
+        assert result["answer_mode"] == "conflict"
+        # The returned payload still honors top_k.
+        assert len(result["contexts"]) == 1
+        # Narrow detection (fetch == top_k) misses it — the round-4 gap.
+        rag_narrow = VectorRAG(idx, detection_fetch_k=1)
+        result_narrow = asyncio.run(rag_narrow.search_and_answer(question, top_k=1))
+        assert result_narrow.get("conflict") is None
+
     def test_detection_can_be_disabled(self, real_chunks):
         import asyncio
 

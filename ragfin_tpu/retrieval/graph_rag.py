@@ -466,15 +466,23 @@ class GraphBuilder:
         chunks: Sequence[FinancialChunk | dict],
         dataset_id: str = "icici_fy2024",
         clear_existing: bool = False,
+        companies: Optional[Sequence[Optional[str]]] = None,
     ) -> dict[str, Any]:
+        """``companies`` (optional, parallel to ``chunks``) scopes each
+        chunk's facts to its owning company — FinancialChunk (reference
+        pydantic parity) carries no company field, so without the hint a
+        multi-company bootstrap would conflate every bank's figures under
+        the graph's default company."""
         if clear_existing:
             self.graph.clear_data(dataset_id)
         processed = failed = total_entities = 0
         failed_chunks: list[str] = []
-        for chunk in chunks:
+        for pos, chunk in enumerate(chunks):
             chunk_id = chunk.get("id", "?") if isinstance(chunk, dict) else chunk.id
             try:
                 entities, company = await self._extract_any(chunk)
+                if company is None and companies is not None:
+                    company = companies[pos]
                 if not entities.quarter:
                     failed += 1
                     failed_chunks.append(chunk_id)
@@ -503,11 +511,15 @@ class GraphBuilder:
 
     def build_from_vector_index(self, vector_index, dataset_id: str = "icici_fy2024"):
         """Bootstrap the KG from the vector store — the reference's de-facto
-        resume path (graph_cons.py:34-53)."""
+        resume path (graph_cons.py:34-53). Each record's company scopes its
+        facts (round-5: previously a multi-company store conflated every
+        bank's figures under the default company)."""
         import asyncio
 
-        chunks = [r.to_financial_chunk() for r in vector_index.records]
-        return asyncio.run(self.build(chunks, dataset_id=dataset_id))
+        records = list(vector_index.records)
+        chunks = [r.to_financial_chunk() for r in records]
+        companies = [getattr(r, "company", None) for r in records]
+        return asyncio.run(self.build(chunks, dataset_id=dataset_id, companies=companies))
 
     async def query(self, question: str, limit: int = 10) -> list[dict]:
         return (await self.query_engine.query(question, limit))["results"]

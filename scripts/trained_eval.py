@@ -154,6 +154,24 @@ def main() -> None:
     if arms & {"all", "raw"}:
         run_arm("qa_subset_k10_raw_trained", qa, idx, 10)
         run_arm("paraphrases_k10_raw_trained", para, idx, 10)
+    if arms & {"all", "graph"}:
+        # Graph/hybrid quality arms on the trained backend (round-4 verdict
+        # #5); graph facts from the real records + 2k multi-company noise.
+        from ragfin_tpu.eval.graph_arms import graph_hybrid_arms
+
+        t = time.perf_counter()
+        ga = graph_hybrid_arms(idx, real, qa, vector_searcher=fs, noise_chunks=dis[:2000])
+        ga["wall_s"] = round(time.perf_counter() - t, 2)
+        out["results"]["graph_hybrid_arms_trained"] = ga
+        for name, v in ga.items():
+            if isinstance(v, dict) and "retrieval_recall" in v:
+                print(
+                    f"[{time.perf_counter()-t0:7.1f}s] {name}: "
+                    f"recall={v['retrieval_recall']['mean']:.3f}",
+                    flush=True,
+                )
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=2)
     if not arms & {"all", "ivf"}:
         with open(OUT, "w") as f:
             json.dump(out, f, indent=2)

@@ -71,6 +71,30 @@ def load_qa_subset(path: str) -> list[EvalQuestion]:
     return out
 
 
+def load_holdout_phrasings(path: Optional[str] = None) -> list[EvalQuestion]:
+    """Hand-written held-out phrasings (round-5 verdict #1): colloquial,
+    abbreviation-heavy, misspelled, and compositional questions AUTHORED BY
+    HAND in styles the pairgen/synonyms generators cannot emit — the
+    distribution-shift probe the template-trained encoder was never graded
+    on. Ships with the package (``eval/holdout_phrasings.json``); the style
+    is carried in ``category`` so reports break down by shift type."""
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "holdout_phrasings.json")
+    with open(path) as f:
+        data = json.load(f)
+    return [
+        EvalQuestion(
+            id=q["id"],
+            category=q["style"],
+            question=q["question"],
+            expected_chunks=[normalize_chunk_label(c) for c in q["expected_relevant_chunks"]],
+        )
+        for q in data["questions"]
+    ]
+
+
 def load_vector_eval(path: str) -> list[EvalQuestion]:
     with open(path) as f:
         data = json.load(f)

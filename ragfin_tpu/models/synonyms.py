@@ -88,9 +88,23 @@ LEXICON: dict[str, str] = {
     "consumer banking": "retail banking segment",
     "insurance business": "life insurance segment",
     "markets business": "treasury segment",
+    # sell-side shorthand (standard Indian-market research abbreviations;
+    # single-token so they only fire on whole words — "adv" never matches
+    # inside "advances")
+    "seg": "segment",
+    "rev": "revenue",
+    "dep": "deposits",
+    "adv": "advances",
+    "tot": "total",
+    "inc": "income",
+    "prov": "provisions",
+    "c/i": "cost ratio",
+    "c/i ratio": "cost ratio",
+    "cost income ratio": "cost ratio",
     # time idioms
     "three-month": "quarter",
     "three month": "quarter",
+    "three months": "quarter",
     "3-month": "quarter",
     "stretch": "quarter",
     # growth / trend idioms

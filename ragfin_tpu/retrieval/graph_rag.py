@@ -59,6 +59,7 @@ _SEGMENT_ALIASES = {
     "treasury": "TREASURY SEGMENT",
     "insurance": "LIFE INSURANCE SEGMENT",
     "other segments": "OTHERS SEGMENT",
+    "others segment": "OTHERS SEGMENT",
 }
 _METRIC_ALIASES = {
     "net profit": "NET PROFIT",
@@ -206,19 +207,37 @@ async def llm_question_entities(question: str, provider: LLMProvider) -> list[di
 # ---------------------------------------------------------------------------
 
 
+def _question_companies(graph: GraphIndex, question: str) -> Optional[list[str]]:
+    """Company scope for a graph query: the reference KG is single-tenant
+    (one Organization node), so every Cypher strategy is implicitly scoped;
+    a multi-company fact table must scope explicitly or another bank's facts
+    crowd the limit-capped results (measured: strategy recall 0.975 → 0.55
+    at 1M with 2k multi-company noise chunks before this scoping)."""
+    from .queryfilter import company_for_question
+
+    companies = list(getattr(graph, "_companies", []) or [])
+    company = company_for_question(question, companies, default=graph.company)
+    return [company] if company else None
+
+
 def strategy_search(
     graph: GraphIndex,
     question: str,
     entities: Optional[list[dict[str, str]]] = None,
     limit: int = 30,
+    companies: Optional[Sequence[str]] = None,
 ) -> dict[str, Any]:
     """Six-branch strategy dispatch (graph_cons.py:345-481 semantics).
 
     Returns {"strategy", "entities", "results"}; results capped at ``limit``
-    (the reference's safety cap of 30).
+    (the reference's safety cap of 30). ``companies`` scopes the fact table
+    (default: the company the question names, else the graph's default —
+    reference parity, see :func:`_question_companies`).
     """
     if entities is None:
         entities = lexical_question_entities(question)
+    if companies is None:
+        companies = _question_companies(graph, question)
     quarters = [e["name"] for e in entities if e["type"] == "Quarter"]
     segments = [e["name"] for e in entities if e["type"] == "Segment"]
     metrics = [e["name"] for e in entities if e["type"] == "Metric"]
@@ -227,6 +246,28 @@ def strategy_search(
 
     results: list[dict] = []
     strategy = "pattern_fallback"
+
+    # Implicit temporal scope: a question naming NO quarter/year means the
+    # scoped company's latest fiscal year on record — the reference's
+    # latest-metrics fallback convention (graph_service.py:249-256), the
+    # same rule the vector pipeline applies (FilteredSearch
+    # _latest_fy_periods). Without it, a multi-year fact store answers
+    # "which quarter had the lowest cost ratio?" from whichever year's
+    # facts happen to sit first in CSR order.
+    latest_fy: Optional[list[str]] = None
+    if not quarters:
+        scope_quarters = None
+        if companies:
+            scope_quarters = set().union(
+                *(graph.organizations.get(c, set()) for c in companies)
+            )
+        if not scope_quarters:
+            scope_quarters = set(graph.quarters)
+        years = sorted({p.split("_FY")[1] for p in scope_quarters if "_FY" in p})
+        if years:
+            latest_fy = sorted(
+                p for p in scope_quarters if p.endswith(f"FY{years[-1]}")
+            )
 
     # Extremum questions ("which quarter did X peak / hit its low") lower onto
     # the device aggregation kernel — an enhancement over the reference,
@@ -237,11 +278,15 @@ def strategy_search(
         names = segments + metrics + ratios + balance
         types = [SEGMENT] if segments else None
         field = "aux" if (segments and re.search(r"margin", question, re.I)) else "value"
-        agg = graph.aggregate(names=names, types=types, field=field)
+        agg = graph.aggregate(
+            companies=companies, quarters=latest_fy, names=names, types=types, field=field
+        )
         if agg:
             word = extremum.group(1).lower()
             key = "min" if word in ("lowest", "worst", "minimum", "trough") else "max"
-            trend = graph.match(names=names, types=types, limit=limit)
+            trend = graph.match(
+                companies=companies, quarters=latest_fy, names=names, types=types, limit=limit
+            )
             return {
                 "strategy": "extremum_aggregate",
                 "entities": entities,
@@ -250,26 +295,26 @@ def strategy_search(
 
     if segments and len(quarters) > 1:
         strategy = "segment_multi_quarter"
-        results = graph.match(quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
+        results = graph.match(companies=companies, quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
     elif (metrics or ratios or balance) and len(quarters) > 1:
         strategy = "metric_multi_quarter"
-        results = graph.match(
+        results = graph.match(companies=companies, 
             quarters=quarters, names=metrics + ratios + balance,
             types=[METRIC, RATIO, BALANCE], limit=limit,
         )
     elif len(quarters) == 1:
         strategy = "single_quarter_deep_dive"
         if segments:
-            results += graph.match(quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
+            results += graph.match(companies=companies, quarters=quarters, names=segments, types=[SEGMENT], limit=limit)
         if metrics:
-            results += graph.match(quarters=quarters, names=metrics, types=[METRIC], limit=limit)
+            results += graph.match(companies=companies, quarters=quarters, names=metrics, types=[METRIC], limit=limit)
         if ratios:
-            results += graph.match(quarters=quarters, names=ratios, types=[RATIO], limit=limit)
+            results += graph.match(companies=companies, quarters=quarters, names=ratios, types=[RATIO], limit=limit)
         if balance:
-            results += graph.match(quarters=quarters, names=balance, types=[BALANCE], limit=limit)
+            results += graph.match(companies=companies, quarters=quarters, names=balance, types=[BALANCE], limit=limit)
         if not (segments or metrics or ratios or balance):
             # Reference: headline metrics only for a bare quarter.
-            results = graph.match(
+            results = graph.match(companies=companies, 
                 quarters=quarters,
                 names=["NET PROFIT", "Operating Profit", "Total Income"],
                 types=[METRIC],
@@ -277,16 +322,20 @@ def strategy_search(
             )
     elif segments and not quarters:
         strategy = "segment_all_quarters"
-        results = graph.match(names=segments, types=[SEGMENT], limit=limit)
+        results = graph.match(
+            companies=companies, quarters=latest_fy, names=segments,
+            types=[SEGMENT], limit=limit,
+        )
     elif (metrics or ratios or balance) and not quarters:
         strategy = "metric_trend"
         results = graph.match(
-            names=metrics + ratios + balance, types=[METRIC, RATIO, BALANCE], limit=limit
+            companies=companies, quarters=latest_fy,
+            names=metrics + ratios + balance, types=[METRIC, RATIO, BALANCE], limit=limit,
         )
     else:
         # Keyword pattern fallback (reference :459-472).
         if "retail" in question.lower() and re.search(r"compare|performance|across", question, re.I):
-            results = graph.match(
+            results = graph.match(companies=companies, 
                 names=["RETAIL BANKING SEGMENT"], types=[SEGMENT], limit=limit
             )
     return {"strategy": strategy, "entities": entities, "results": results[:limit]}
@@ -340,26 +389,27 @@ class GraphQueryEngine:
         return {"quarters": quarters, "names": [], "types": ["metrics"],
                 "limit": limit, "order": "quarter_desc", "_fallback": True}
 
-    def _execute(self, plan: dict) -> list[dict]:
+    def _execute(self, plan: dict, companies: Optional[Sequence[str]] = None) -> list[dict]:
         compare = plan.get("compare")
         if compare and compare.get("name") and compare.get("from") and compare.get("to"):
-            return self._execute_compare(compare)
+            return self._execute_compare(compare, companies=companies)
         types = [_TYPE_BY_NAME[t] for t in plan.get("types", []) if t in _TYPE_BY_NAME] or None
         results = self.graph.match(
             quarters=plan.get("quarters") or None,
             names=plan.get("names") or None,
             types=types,
             limit=int(plan.get("limit", 10)),
+            companies=companies,
         )
         if plan.get("order") == "quarter_desc":
             results = sorted(results, key=lambda r: _period_key(r.get("quarter", "")), reverse=True)
         return results
 
-    def _execute_compare(self, compare: dict) -> list[dict]:
+    def _execute_compare(self, compare: dict, companies: Optional[Sequence[str]] = None) -> list[dict]:
         """Two-quarter growth computation (the reference's Growth_Pct Cypher
         pattern, graph_service.py:146-148)."""
         name, q_from, q_to = compare["name"], compare["from"], compare["to"]
-        rows = self.graph.match(quarters=[q_from, q_to], names=[name])
+        rows = self.graph.match(quarters=[q_from, q_to], names=[name], companies=companies)
         vals: dict[str, dict] = {}
         for r in rows:
             vals[r["quarter"]] = r
@@ -385,6 +435,9 @@ class GraphQueryEngine:
         return out
 
     async def query(self, question: str, limit: int = 10) -> dict[str, Any]:
+        # Company scope for every execution path (reference parity: the KG's
+        # Organization node makes its Cypher implicitly single-tenant).
+        companies = _question_companies(self.graph, question)
         plan = None
         if self.provider is not None:
             try:
@@ -413,12 +466,12 @@ class GraphQueryEngine:
                 # with the latest-metrics fallback, same as the LLM-plan
                 # path (reference graph_service.py:249-256 semantics).
                 fb = self.fallback_plan(limit)
-                return {"plan": fb, "results": self._execute(fb), "fallback": True}
+                return {"plan": fb, "results": self._execute(fb, companies=companies), "fallback": True}
             plan = self.fallback_plan(limit)
-        results = self._execute(plan)
+        results = self._execute(plan, companies=companies)
         if not results:
             fb = self.fallback_plan(limit)
-            results = self._execute(fb)
+            results = self._execute(fb, companies=companies)
             return {"plan": fb, "results": results, "fallback": True}
         return {"plan": plan, "results": results, "fallback": bool(plan.get("_fallback"))}
 

@@ -25,6 +25,24 @@ _ORDINALS = {
     "fourth": 4, "4th": 4, "last": 4, "final": 4,
 }
 
+# Calendar month -> (fiscal quarter, fiscal-year offset from the calendar
+# year). Indian fiscal convention, same mapping the reference chunker uses
+# for its period->month keys (chunking_storing (1).py:77-89): FY2024 spans
+# Apr 2023 - Mar 2024, so "June 2023" is Q1 FY2024 (offset +1) and
+# "March 2024" is Q4 FY2024 (offset 0).
+_MONTH_QUARTER = {
+    "april": (1, 1), "apr": (1, 1), "may": (1, 1), "june": (1, 1), "jun": (1, 1),
+    "july": (2, 1), "jul": (2, 1), "august": (2, 1), "aug": (2, 1),
+    "september": (2, 1), "sept": (2, 1), "sep": (2, 1),
+    "october": (3, 1), "oct": (3, 1), "november": (3, 1), "nov": (3, 1),
+    "december": (3, 1), "dec": (3, 1),
+    "january": (4, 0), "jan": (4, 0), "february": (4, 0), "feb": (4, 0),
+    "march": (4, 0), "mar": (4, 0),
+}
+_MONTH_YEAR = re.compile(
+    r"\b(" + "|".join(_MONTH_QUARTER) + r")\s+(\d{4})\b"
+)
+
 # Chunk-type hints, checked in order (first match wins); multi-topic
 # questions (rankings across segments etc.) get no type filter.
 _TYPE_HINTS = [
@@ -59,28 +77,67 @@ def extract_filters(question: str, known_periods: Sequence[str]) -> QueryFilters
     years_vocab = sorted({p.split("_FY")[1] for p in known_periods if "_FY" in p})
     known = set(known_periods)
 
+    def full_year(y: str) -> list[str]:
+        """2-digit fiscal years ("FY24") resolve against the corpus's year
+        vocabulary; 4-digit years pass through."""
+        if len(y) == 4:
+            return [y]
+        return [v for v in years_vocab if v.endswith(y)]
+
     # Explicit quarter+year pairs first ("Q4 FY2024", "FY2024 Q4",
-    # "Q2 of/in FY2024") so multi-year comparisons keep each quarter with
-    # ITS year; the matched spans are cut out before leftover parsing.
+    # "Q2 of/in FY2024", and the Indian-market compact forms "Q1FY24" /
+    # "3QFY24") so multi-year comparisons keep each quarter with ITS year;
+    # the matched spans are cut out before leftover parsing.
     pairs: list[tuple[int, str]] = []
     spans: list[tuple[int, int]] = []
     for pat, qg, yg in (
-        (r"\bq([1-4])\s*(?:of|in|for)?[\s_-]*fy\s?(\d{4})\b", 1, 2),
-        (r"\bfy\s?(\d{4})\s*(?:,)?[\s_-]*q([1-4])\b", 2, 1),
+        (r"\bq([1-4])\s*(?:of|in|for)?[\s_-]*(?:fy|fiscal)\s?(\d{4}|\d{2})\b", 1, 2),
+        (r"\b([1-4])q[\s_-]*(?:fy|fiscal)\s?(\d{4}|\d{2})\b", 1, 2),
+        (r"\b(?:fy|fiscal)\s?(\d{4})\s*(?:,)?[\s_-]*q([1-4])\b", 2, 1),
     ):
         for m in re.finditer(pat, ql):
-            pairs.append((int(m.group(qg)), m.group(yg)))
+            for y in full_year(m.group(yg)):
+                pairs.append((int(m.group(qg)), y))
             spans.append(m.span())
+    # Calendar month+year mentions ("the June 2023 quarter", "quarter ending
+    # September 2023") map through the fiscal calendar.
+    for m in _MONTH_YEAR.finditer(ql):
+        qn, offset = _MONTH_QUARTER[m.group(1)]
+        pairs.append((qn, str(int(m.group(2)) + offset)))
+        spans.append(m.span())
     residual = list(ql)
     for a, b in spans:
         residual[a:b] = " " * (b - a)
     residual = "".join(residual)
 
-    rest_years = list(dict.fromkeys(re.findall(r"fy\s?(\d{4})", residual)))
+    rest_years = [
+        y
+        for raw in dict.fromkeys(re.findall(r"(?:fy|fiscal)\s?(\d{4}|\d{2})\b", residual))
+        for y in full_year(raw)
+    ]
+    rest_years = list(dict.fromkeys(rest_years))
     rest_qnums = [int(n) for n in re.findall(r"\bq([1-4])\b", residual)]
+    # "second quarter" / "4th qtr" / the common "quater" typo, plus the
+    # "first|final three months" idiom.
     for word, num in _ORDINALS.items():
-        if re.search(rf"\b{word}\s+quarter", residual):
+        if re.search(rf"\b{word}\s+(?:quarter|quater|qtr)", residual):
             rest_qnums.append(num)
+        if re.search(rf"\b{word}\s+three\s+months", residual):
+            rest_qnums.append(num)
+    # Half-year convention: H1/first half = Q1+Q2, H2/second half = Q3+Q4.
+    # A comparative ellipsis ("the second half ... than the first") names
+    # BOTH halves — the elided half must stay in scope (recall-safety).
+    halves = set()
+    if re.search(r"\b(?:h1|1h|first\s+half)\b", residual):
+        halves.add(1)
+    if re.search(r"\b(?:h2|2h|second\s+half|latter\s+half)\b", residual):
+        halves.add(2)
+    if halves and re.search(r"\b(?:than|vs|versus|against|over)\s+the\s+(?:first|second|other)\b", residual):
+        halves = {1, 2}
+    if 1 in halves:
+        rest_qnums += [1, 2]
+    if 2 in halves:
+        rest_qnums += [3, 4]
     rest_qnums = list(dict.fromkeys(rest_qnums))
 
     periods: list[str] = [f"Q{n}_FY{y}" for n, y in dict.fromkeys(pairs)]
@@ -113,6 +170,45 @@ def extract_filters(question: str, known_periods: Sequence[str]) -> QueryFilters
             break
 
     return QueryFilters(periods=periods, chunk_type=chunk_type)
+
+
+# Words too generic to identify a company on their own ("Bank of Baroda"
+# must not claim every question containing "bank").
+_GENERIC_NAME_TOKENS = frozenset(
+    {"bank", "banking", "the", "of", "and", "india", "indian", "state",
+     "national", "life", "general", "limited", "ltd", "finance",
+     "financial", "services", "capital", "group", "corp", "corporation"}
+)
+
+
+def company_for_question(
+    question: str, companies: Sequence[str], default: Optional[str] = None
+) -> Optional[str]:
+    """Resolve which company a question is about (shared by the vector
+    pipeline's scoping and the graph strategy dispatch — reference parity:
+    both its Milvus collection and its KG Organization node are single-
+    tenant, so every question is implicitly scoped; a multi-company store
+    must scope explicitly or conflate banks).
+
+    Full-name match first (most tokens wins), then a distinctive token
+    exactly one company owns; otherwise ``default``. A single-company list
+    returns None (no mask needed)."""
+    companies = list(companies)
+    if len(companies) <= 1:
+        return None
+    qtokens = set(re.findall(r"[a-z0-9&]+", question.lower()))
+    for c in sorted(companies, key=lambda c: -len(c.split())):
+        toks = [t.lower() for t in c.split()]
+        if all(t in qtokens for t in toks):
+            return c
+    owners: dict[str, set] = {}
+    for c in companies:
+        for t in set(c.lower().split()) - _GENERIC_NAME_TOKENS:
+            owners.setdefault(t, set()).add(c)
+    for t, cs in owners.items():
+        if t in qtokens and len(cs) == 1:
+            return next(iter(cs))
+    return default
 
 
 class FilteredSearch:
@@ -170,34 +266,10 @@ class FilteredSearch:
             self._vocab_cache = cached
         return cached[1], cached[2], cached[3]
 
-    # Words too generic to identify a company on their own ("Bank of
-    # Baroda" must not claim every question containing "bank").
-    _GENERIC_NAME_TOKENS = frozenset(
-        {"bank", "banking", "the", "of", "and", "india", "indian", "state",
-         "national", "life", "general", "limited", "ltd", "finance",
-         "financial", "services", "capital", "group", "corp", "corporation"}
-    )
-
     def _company_for(self, question: str, companies: list) -> Optional[str]:
-        if len(companies) <= 1:
-            return None  # single-tenant corpus: no mask needed
-        qtokens = set(re.findall(r"[a-z0-9&]+", question.lower()))
-        # Full-name match first, most specific (most tokens) wins — "HDFC
-        # Life" must beat "HDFC Bank" for an HDFC Life question.
-        for c in sorted(companies, key=lambda c: -len(c.split())):
-            toks = [t.lower() for t in c.split()]
-            if all(t in qtokens for t in toks):
-                return c
-        # Distinctive-token match: a non-generic name token that exactly one
-        # company owns ("icici", "kotak"). Shared prefixes stay ambiguous.
-        owners: dict[str, set] = {}
-        for c in companies:
-            for t in set(c.lower().split()) - self._GENERIC_NAME_TOKENS:
-                owners.setdefault(t, set()).add(c)
-        for t, cs in owners.items():
-            if t in qtokens and len(cs) == 1:
-                return next(iter(cs))
-        return self.default_company
+        # Full-name match first ("HDFC Life" beats "HDFC Bank"), then a
+        # distinctive token exactly one company owns ("icici", "kotak").
+        return company_for_question(question, companies, self.default_company)
 
     def _latest_fy_periods(self, question_filters: QueryFilters, scoped_periods):
         """Implicit temporal scope: a question that names no fiscal year

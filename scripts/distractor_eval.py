@@ -90,6 +90,9 @@ def main() -> None:
 
     qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
     ve = load_vector_eval(os.path.join(REF, "vector_rag_evaluation_dataset.json"))
+    from ragfin_tpu.eval.datasets import load_holdout_phrasings
+
+    hp = load_holdout_phrasings()
     fs = FilteredSearch(idx)
 
     out = {"n_distractors": N, "n_chunks": len(idx), "results": {}}
@@ -98,7 +101,13 @@ def main() -> None:
         ("qa_subset_k10", qa, fs, 10),
         ("paraphrases_k10", paraphrased_questions(qa), fs, 10),
         ("vector_eval_k10", ve, fs, 10),
+        # Hand-written held-out phrasings (round-5 verdict #1): colloquial /
+        # abbreviation / misspelled / compositional styles the pair
+        # generators cannot emit.
+        ("holdout_phrasings_k10", hp, fs, 10),
+        ("holdout_phrasings_k3", hp, fs, 3),
         ("qa_subset_k10_raw_embedding", qa, idx, 10),
+        ("holdout_phrasings_k10_raw_embedding", hp, idx, 10),
     ]:
         t = time.perf_counter()
         s = evaluate_retrieval(searcher, questions, k=k).summary()

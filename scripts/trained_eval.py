@@ -146,14 +146,21 @@ def main() -> None:
             prev = json.load(f)
         out["results"].update(prev.get("results", {}))
 
+    from ragfin_tpu.eval.datasets import load_holdout_phrasings
+
+    hp = load_holdout_phrasings()
     if arms & {"all", "pipeline"}:
         run_arm("qa_subset_k3_trained", qa, fs, 3)
         run_arm("qa_subset_k10_trained", qa, fs, 10)
         run_arm("paraphrases_k10_trained", para, fs, 10)
         run_arm("vector_eval_k10_trained", ve, fs, 10)
+        # Hand-written held-out phrasings (round-5 verdict #1, gate arm).
+        run_arm("holdout_phrasings_k10_trained", hp, fs, 10)
+        run_arm("holdout_phrasings_k3_trained", hp, fs, 3)
     if arms & {"all", "raw"}:
         run_arm("qa_subset_k10_raw_trained", qa, idx, 10)
         run_arm("paraphrases_k10_raw_trained", para, idx, 10)
+        run_arm("holdout_phrasings_k10_raw_trained", hp, idx, 10)
     if arms & {"all", "graph"}:
         # Graph/hybrid quality arms on the trained backend (round-4 verdict
         # #5); graph facts from the real records + 2k multi-company noise.

@@ -332,3 +332,78 @@ class TestQueryBucketPadding:
             assert [h.record.id for h in batched[qi]] == [
                 h.record.id for h in solo
             ]
+
+
+class TestPeriodGrammar:
+    """Round-5 period-grammar extensions in queryfilter.extract_filters:
+    Indian-market compact forms, 2-digit fiscal years, calendar-month
+    mapping (the reference chunker's fiscal calendar,
+    chunking_storing (1).py:77-89), half-year conventions, common typos."""
+
+    KNOWN = [f"Q{q}_FY2024" for q in range(1, 5)] + [f"Q{q}_FY2023" for q in range(1, 5)]
+
+    def _periods(self, q):
+        from ragfin_tpu.retrieval.queryfilter import extract_filters
+
+        return extract_filters(q, self.KNOWN).periods
+
+    def test_compact_quarter_year(self):
+        assert self._periods("ICICI Q1FY24 PAT?") == ["Q1_FY2024"]
+        assert self._periods("4QFY24 NII figure") == ["Q4_FY2024"]
+        assert self._periods("3QFY2024 deposits") == ["Q3_FY2024"]
+
+    def test_two_digit_year_resolves_against_vocab(self):
+        assert self._periods("net profit in Q2 FY23") == ["Q2_FY2023"]
+        # An unknown 2-digit year maps to nothing (not a wrong year).
+        assert self._periods("net profit in Q2 FY99") == []
+
+    def test_month_year_maps_through_fiscal_calendar(self):
+        assert self._periods("the June 2023 quarter results") == ["Q1_FY2024"]
+        assert self._periods("quarter ending September 2023") == ["Q2_FY2024"]
+        assert self._periods("as of December 2023") == ["Q3_FY2024"]
+        assert self._periods("the quarter that ended in March 2024") == ["Q4_FY2024"]
+        # Jan-Mar belong to the SAME fiscal year; Apr-Dec to the next.
+        assert self._periods("January 2024 numbers") == ["Q4_FY2024"]
+        assert self._periods("April 2023 onwards") == ["Q1_FY2024"]
+
+    def test_half_year_convention(self):
+        assert self._periods("first half of FY2024 profit") == ["Q1_FY2024", "Q2_FY2024"]
+        assert self._periods("H2 FY2024 deposits") == ["Q3_FY2024", "Q4_FY2024"]
+
+    def test_comparative_ellipsis_keeps_both_halves(self):
+        got = self._periods("Was the second half of FY2024 better than the first?")
+        assert got == ["Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"] or sorted(got) == [
+            "Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"
+        ]
+
+    def test_quarter_typo_and_abbreviation(self):
+        assert self._periods("total income in the fourth quater of FY2024") == ["Q4_FY2024"]
+        assert self._periods("2nd qtr FY2024 advances") == ["Q2_FY2024"]
+
+    def test_three_months_idiom(self):
+        assert self._periods("the final three months of fiscal 2024") == ["Q4_FY2024"]
+
+    def test_existing_grammar_unchanged(self):
+        assert self._periods("What was the net profit in Q1 FY2024?") == ["Q1_FY2024"]
+        assert self._periods("Compare Q1 FY2023 with Q1 FY2024") == ["Q1_FY2023", "Q1_FY2024"]
+        assert self._periods("How did deposits trend across FY2024?") == [
+            "Q1_FY2024", "Q2_FY2024", "Q3_FY2024", "Q4_FY2024"
+        ]
+
+
+class TestHoldoutPhrasings:
+    def test_loader_and_labels(self):
+        from ragfin_tpu.eval.datasets import load_holdout_phrasings
+
+        hp = load_holdout_phrasings()
+        assert len(hp) == 48
+        styles = {q.category for q in hp}
+        assert styles == {"colloquial", "abbreviation", "misspelled", "compositional"}
+        valid_suffixes = (
+            "profitability_analysis", "balance_sheet_health",
+            "key_ratios", "segment_performance",
+        )
+        for q in hp:
+            assert q.expected_chunks, q.id
+            for c in q.expected_chunks:
+                assert c.startswith("icici_q") and c.endswith(valid_suffixes), c

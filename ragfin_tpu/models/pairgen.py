@@ -169,6 +169,14 @@ _Q_TEMPLATES = [
     "What was the year over year growth rate of {bank}'s {metric} in {period}?",
     "How much did {bank}'s {metric} grow compared to a year earlier in {period}?",
     "What was the growth rate of {bank}'s {metric} in {period}?",
+    # Colloquial / terse registers (round-5: users do not write template
+    # English; distinct from the held-out phrasings by construction).
+    "How much did {bank} end up with as {metric} in {period}?",
+    "Can you give me {bank}'s {metric} number for {period}?",
+    "I'm looking for {bank}'s {metric} in {period}.",
+    "Need {bank}'s {metric} for {period}.",
+    "{bank} {metric} {period}, quick check",
+    "Any idea what {bank}'s {metric} was in {period}?",
 ]
 
 # Bank-less forms for ``nobank`` mode — the dominant qa_subset style.
@@ -182,6 +190,10 @@ _Q_NOBANK_TEMPLATES = [
     "How did the {metric} perform in {period}?",
     "What was the YoY growth in {metric} in {period}?",
     "How big was the {metric} in {period}?",
+    "Give me the {metric} figure for {period}.",
+    "Need the {metric} for {period}.",
+    "{metric}, {period}?",
+    "{metric} {period}",
 ]
 
 # Chunk-type-specific question shapes: these mention a concept tied to one
@@ -266,11 +278,26 @@ VOCAB_SEED_WORDS = (
     "around smallest what was the in for of how much did report tell me "
     "which when where why compare versus against highest best worst "
     "biggest largest show give state calculate compute value number "
-    "moved change trend during across over quarters fiscal please"
+    "moved change trend during across over quarters fiscal please "
+    # round-5: calendar months (fiscal mapping idioms), chat filler, and
+    # sell-side shorthand must be single tokens, not char soup.
+    "january february march april may june july august september october "
+    "november december pls thanks asap hey btw umm quick idea looking "
+    "need check ended ending closed qtr pat nii opex seg rev dep adv tot "
+    "inc prov h1 h2 half parked earn earned bottom line"
 ).split()
 
 
+# Fiscal-quarter end months (Indian convention, the reference chunker's
+# period->month mapping, chunking_storing (1).py:77-89): Q1 FY(y) ends
+# June y-1 ... Q4 FY(y) ends March y.
+_Q_END_MONTH = {1: "june", 2: "september", 3: "december", 4: "march"}
+
+
 def _period_phrase(q: int, year: int, r) -> str:
+    cal_year = year if q == 4 else year - 1
+    month = _Q_END_MONTH[q]
+    short = str(year)[2:]
     forms = [
         f"Q{q} FY{year}",
         f"Q{q}_FY{year}",
@@ -278,8 +305,70 @@ def _period_phrase(q: int, year: int, r) -> str:
         f"the {_ORDINALS[q]} quarter of fiscal {year}",
         f"{_ORDINALS[q]} quarter FY{year}",
         f"the three months of Q{q} FY{year}",
+        # Sell-side compact forms and calendar-month idioms (round-5: real
+        # users write "Q1FY24" and "the June 2023 quarter"; the query tower
+        # must key them to the same scope as "Q1 FY2024").
+        f"Q{q}FY{short}",
+        f"{q}QFY{short}",
+        f"Q{q}FY{year}",
+        f"the quarter ended {month} {cal_year}",
+        f"the {month} {cal_year} quarter",
+        f"the quarter ending {month} {cal_year}",
     ]
     return forms[int(r.integers(0, len(forms)))]
+
+
+# Query-side robustness augmentation (round-5): word dropout, character
+# typos, and chat filler teach the tower that a noisy rendition of a
+# question shares its scope — and keep training accuracy off the 1.0
+# saturation plateau that let v3 memorize its template distribution.
+_FILLERS_PRE = ["hey", "quick question:", "pls tell me", "btw", "so", "umm"]
+_FILLERS_POST = ["pls", "please", "thanks", "if you can", "asap", "?"]
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _typo_word(w: str, r) -> str:
+    if len(w) < 4:
+        return w
+    i = int(r.integers(1, len(w) - 1))
+    op = int(r.integers(0, 4))
+    if op == 0:  # adjacent swap
+        return w[: i] + w[i + 1] + w[i] + w[i + 2:]
+    if op == 1:  # drop
+        return w[:i] + w[i + 1:]
+    if op == 2:  # double
+        return w[: i + 1] + w[i] + w[i + 1:]
+    return w[:i] + _LETTERS[int(r.integers(0, 26))] + w[i + 1:]  # substitute
+
+
+def _is_scope_token(w: str) -> bool:
+    """Period/quarter/year tokens must never be corrupted — a typo there
+    CHANGES the scope (the label), not just the surface form."""
+    wl = w.lower().strip(".,?!:;()")
+    return any(c.isdigit() for c in wl) or wl in ("fy", "q", "fiscal", "quarter")
+
+
+def augment_query(query: str, r, p_dropout: float = 0.08, p_typo: float = 0.10) -> str:
+    words = query.split()
+    out = []
+    for w in words:
+        if _is_scope_token(w):
+            out.append(w)
+            continue
+        u = r.uniform()
+        if u < p_dropout and len(words) > 3:
+            continue
+        if u < p_dropout + p_typo:
+            out.append(_typo_word(w, r))
+            continue
+        out.append(w)
+    if not out:
+        out = words
+    if r.uniform() < 0.12:
+        out.insert(0, _FILLERS_PRE[int(r.integers(0, len(_FILLERS_PRE)))])
+    if r.uniform() < 0.12:
+        out.append(_FILLERS_POST[int(r.integers(0, len(_FILLERS_POST)))])
+    return " ".join(out)
 
 
 def _bank_phrase(bank: str, r) -> str:
@@ -426,6 +515,7 @@ def pair_batch(
     quarter_frac: float = 0.30,
     nobank_frac: float = 0.15,
     hard_frac: float = 0.25,
+    augment_frac: float = 0.45,
 ) -> tuple[list[str], list[str]]:
     """One batch of pairs with all-distinct scope cells (InfoNCE-safe).
 
@@ -460,6 +550,8 @@ def pair_batch(
                 continue
             for query, doc, cell in block[: batch_size - len(queries)]:
                 seen.add(cell)
+                if r.uniform() < augment_frac:
+                    query = augment_query(query, r)
                 queries.append(query)
                 docs.append(doc)
         return queries, docs
@@ -477,6 +569,8 @@ def pair_batch(
         if cell in seen:
             continue
         seen.add(cell)
+        if r.uniform() < augment_frac:
+            query = augment_query(query, r)
         queries.append(query)
         docs.append(doc)
     return queries, docs

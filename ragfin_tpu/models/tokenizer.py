@@ -170,12 +170,63 @@ class WordPieceTokenizer:
                 f.write(tok + "\n")
 
 
+def _learn_bpe_pieces(counts: dict[str, int], budget: int, min_pair_freq: int = 4) -> list[str]:
+    """Greedy BPE merges over the word-frequency table → subword pieces.
+
+    Words are symbol sequences (first symbol bare, rest ``##``-marked, BERT
+    convention); each iteration merges the most frequent adjacent pair and
+    records the merged unit as a vocabulary piece. The learned stems/affixes
+    ("deposit", "##s", "seg", "##ment") are what give greedy WordPiece a
+    graceful decomposition for unseen or misspelled words — with a
+    whole-word-only vocabulary, "deposists" shatters into nine single-char
+    pieces whose mean-pooled embedding is noise (the round-4 encoder's
+    distribution-shift fragility). Deterministic: ties break lexicographic.
+    """
+    words: dict[tuple, int] = {}
+    for w, f in counts.items():
+        if len(w) > 1:
+            sym = tuple([w[0]] + ["##" + c for c in w[1:]])
+            words[sym] = words.get(sym, 0) + f
+    pieces: list[str] = []
+    while len(pieces) < budget:
+        pair_counts: dict[tuple, int] = {}
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+        if not pair_counts:
+            break
+        (a, b), freq = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if freq < min_pair_freq:
+            break
+        merged = a + b[2:]  # b is always a ## continuation
+        pieces.append(merged)
+        new_words: dict[tuple, int] = {}
+        for sym, f in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + f
+        words = new_words
+    return pieces
+
+
 def build_wordpiece_vocab(
     texts: Sequence[str],
     vocab_size: int = 8192,
     min_freq: int = 2,
     collapse_numbers: bool = True,
     lowercase: bool = True,
+    subword_pieces: bool = True,
+    subword_reserve: int = 1024,
 ) -> dict[str, int]:
     """Build a domain WordPiece vocabulary from a corpus (deterministic).
 
@@ -183,8 +234,11 @@ def build_wordpiece_vocab(
     so the trained encoder's vocabulary is learned from the domain corpus
     itself: all words above ``min_freq`` (most frequent first), plus full
     single-character coverage with ``##`` continuations so greedy WordPiece
-    never emits [UNK] for ASCII text — out-of-vocabulary words decompose
-    into character pieces instead of collapsing to one unknown id.
+    never emits [UNK] for ASCII text, plus (``subword_pieces``) BPE-learned
+    stems/affixes filling the remaining budget so out-of-vocabulary and
+    misspelled words decompose into meaningful units instead of single
+    characters (round-5: the 607-token whole-word-only v3 vocabulary left
+    7.5k of the budget unused and shattered any unseen word).
     """
     probe = WordPieceTokenizer(
         vocab=None, lowercase=lowercase, collapse_numbers=collapse_numbers
@@ -212,9 +266,26 @@ def build_wordpiece_vocab(
             vocab.setdefault(str(d), len(vocab))
         for shape in ("numdec", "num3", "num4", "num5", "num6", "num7", "num8", "num9"):
             vocab.setdefault(shape, len(vocab))
-    for tok, freq in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+    # Whole words fill up to the budget minus a reserve for subword pieces
+    # (a big extra-text corpus must not crowd out the OOV-decomposition
+    # machinery); leftover reserve goes back to words afterwards.
+    word_cap = vocab_size - (subword_reserve if subword_pieces else 0)
+    eligible = [
+        (tok, freq)
+        for tok, freq in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq >= min_freq
+    ]
+    for tok, _ in eligible:
+        if len(vocab) >= word_cap:
+            break
+        vocab.setdefault(tok, len(vocab))
+    if subword_pieces and len(vocab) < vocab_size:
+        for piece in _learn_bpe_pieces(counts, vocab_size - len(vocab)):
+            if len(vocab) >= vocab_size:
+                break
+            vocab.setdefault(piece, len(vocab))
+    for tok, _ in eligible:
         if len(vocab) >= vocab_size:
             break
-        if freq >= min_freq:
-            vocab.setdefault(tok, len(vocab))
+        vocab.setdefault(tok, len(vocab))
     return vocab

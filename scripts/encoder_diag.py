@@ -41,28 +41,37 @@ def main() -> None:
     qa = load_qa_subset(os.path.join(ref, "qa_subset.json"))
 
     docs = np.asarray(embedder.encode_texts([c.text for c in chunks]))
-    queries = np.asarray(embedder.encode_texts([q.question for q in qa]))
     ids = [c.id for c in chunks]
 
-    sims = queries @ docs.T  # encoders L2-normalize
-    wins, margins, ranks = 0, [], []
-    for qi, q in enumerate(qa):
-        gold = {g for g in q.expected_chunks}
-        gold_idx = [i for i, cid in enumerate(ids) if cid in gold]
-        if not gold_idx:
-            continue
-        row = sims[qi]
-        best_gold = max(float(row[i]) for i in gold_idx)
-        non_gold = [float(row[i]) for i in range(len(ids)) if i not in gold_idx]
-        margin = best_gold - max(non_gold)
-        margins.append(margin)
-        wins += margin > 0
-        ranks.append(1 + sum(s > best_gold for s in non_gold))
-    n = len(margins)
-    print(
-        f"gold-wins {wins}/{n} = {wins/n:.2f}  margin mean {np.mean(margins):+.4f} "
-        f"p10 {np.percentile(margins, 10):+.4f}  mean gold rank {np.mean(ranks):.2f}"
-    )
+    def tower_stats(questions, label):
+        queries = np.asarray(embedder.encode_texts([q.question for q in questions]))
+        sims = queries @ docs.T  # encoders L2-normalize
+        wins, margins, ranks = 0, [], []
+        for qi, q in enumerate(questions):
+            gold = {g for g in q.expected_chunks}
+            gold_idx = [i for i, cid in enumerate(ids) if cid in gold]
+            if not gold_idx:
+                continue
+            row = sims[qi]
+            best_gold = max(float(row[i]) for i in gold_idx)
+            non_gold = [float(row[i]) for i in range(len(ids)) if i not in gold_idx]
+            margin = best_gold - max(non_gold)
+            margins.append(margin)
+            wins += margin > 0
+            ranks.append(1 + sum(s > best_gold for s in non_gold))
+        n = len(margins)
+        print(
+            f"{label}: gold-wins {wins}/{n} = {wins/n:.2f}  margin mean {np.mean(margins):+.4f} "
+            f"p10 {np.percentile(margins, 10):+.4f}  mean gold rank {np.mean(ranks):.2f}"
+        )
+        return wins / n
+
+    tower_stats(qa, "qa_subset     ")
+    # Hand-written held-out phrasings (round-5 gate): the raw query tower on
+    # styles the pair generators cannot emit.
+    from ragfin_tpu.eval.datasets import load_holdout_phrasings
+
+    tower_stats(load_holdout_phrasings(), "holdout(hand) ")
 
     # Doc-tower separation: reworded same-scope dupe vs a cross-scope chunk.
     from ragfin_tpu.eval.distractors import _reword  # same machinery as training

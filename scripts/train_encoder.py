@@ -36,6 +36,34 @@ def main() -> None:
         from ragfin_tpu.data.loader import build_corpus
 
         vocab_extra = [c.text for c in build_corpus(data_dir)]
+    # Round-5 vocabulary growth from realistic in-image financial text
+    # (VERDICT #1: reference PDFs and qa_subset QUESTION texts are fair
+    # vocab sources; eval answers and the hand-written holdout are not).
+    qa_path = os.path.join(ref, "qa_subset.json")
+    if os.path.exists(qa_path):
+        from ragfin_tpu.eval.datasets import load_qa_subset
+
+        vocab_extra += [q.question for q in load_qa_subset(qa_path)]
+    import glob
+    import re as _re
+
+    from ragfin_tpu.data.pdf_extractor import extract_text
+
+    for pdf in sorted(glob.glob(os.path.join(ref, "FinRag_Parameter_Extractor", "*", "*.pdf"))):
+        try:
+            txt = extract_text(pdf)
+        except Exception:
+            continue
+        # Keep only lines that read as English (some PDFs decode to glyph
+        # garbage); require a high ratio of plain alphabetic words.
+        lines = []
+        for line in txt.split("\n"):
+            words = line.split()
+            alpha = [w for w in words if _re.fullmatch(r"[A-Za-z][A-Za-z'&.-]*", w)]
+            if len(words) >= 3 and len(alpha) >= 0.7 * len(words):
+                lines.append(line)
+        if len(lines) >= 50:
+            vocab_extra.append("\n".join(lines))
 
     t0 = time.time()
     result = train_domain_encoder(

@@ -90,20 +90,42 @@ def extract_filters(question: str, known_periods: Sequence[str]) -> QueryFilters
     # the matched spans are cut out before leftover parsing.
     pairs: list[tuple[int, str]] = []
     spans: list[tuple[int, int]] = []
+    def relative_shift(pos: int) -> int:
+        """±1 fiscal-quarter shift for temporal-offset phrases preceding a
+        period mention: "the quarter (right) after June 2023" means Q2, not
+        the June quarter itself; "the quarter before Q3 FY2024" means Q2."""
+        prefix = ql[:pos]
+        if re.search(r"\b(?:quarter|quater|qtr|period)\s+(?:right\s+|immediately\s+|just\s+)?(?:after|following)\s*$", prefix):
+            return 1
+        if re.search(r"\b(?:quarter|quater|qtr|period)\s+(?:right\s+|immediately\s+|just\s+)?(?:before|preceding|prior\s+to)\s*$", prefix):
+            return -1
+        return 0
+
+    def shifted(qn: int, y: str, shift: int) -> tuple[int, str]:
+        if not shift:
+            return qn, y
+        qn += shift
+        if qn > 4:
+            return 1, str(int(y) + 1)
+        if qn < 1:
+            return 4, str(int(y) - 1)
+        return qn, y
+
     for pat, qg, yg in (
         (r"\bq([1-4])\s*(?:of|in|for)?[\s_-]*(?:fy|fiscal)\s?(\d{4}|\d{2})\b", 1, 2),
         (r"\b([1-4])q[\s_-]*(?:fy|fiscal)\s?(\d{4}|\d{2})\b", 1, 2),
         (r"\b(?:fy|fiscal)\s?(\d{4})\s*(?:,)?[\s_-]*q([1-4])\b", 2, 1),
     ):
         for m in re.finditer(pat, ql):
+            shift = relative_shift(m.start())
             for y in full_year(m.group(yg)):
-                pairs.append((int(m.group(qg)), y))
+                pairs.append(shifted(int(m.group(qg)), y, shift))
             spans.append(m.span())
     # Calendar month+year mentions ("the June 2023 quarter", "quarter ending
     # September 2023") map through the fiscal calendar.
     for m in _MONTH_YEAR.finditer(ql):
         qn, offset = _MONTH_QUARTER[m.group(1)]
-        pairs.append((qn, str(int(m.group(2)) + offset)))
+        pairs.append(shifted(qn, str(int(m.group(2)) + offset), relative_shift(m.start())))
         spans.append(m.span())
     residual = list(ql)
     for a, b in spans:

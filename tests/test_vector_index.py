@@ -383,6 +383,15 @@ class TestPeriodGrammar:
     def test_three_months_idiom(self):
         assert self._periods("the final three months of fiscal 2024") == ["Q4_FY2024"]
 
+    def test_relative_quarter_offset(self):
+        assert self._periods("the quarter right after June 2023") == ["Q2_FY2024"]
+        assert self._periods("the quarter before Q3 FY2024") == ["Q2_FY2024"]
+        # Wrap across fiscal years in both directions.
+        assert self._periods("the quarter after March 2023") == ["Q1_FY2024"]
+        assert self._periods("the quarter prior to Q1 FY2024") == ["Q4_FY2023"]
+        # No offset phrase: the mention itself.
+        assert self._periods("results for June 2023") == ["Q1_FY2024"]
+
     def test_existing_grammar_unchanged(self):
         assert self._periods("What was the net profit in Q1 FY2024?") == ["Q1_FY2024"]
         assert self._periods("Compare Q1 FY2023 with Q1 FY2024") == ["Q1_FY2023", "Q1_FY2024"]

@@ -7,6 +7,11 @@ writes eval_results/distractor_eval_{N}.json.
 
 Usage: [DISTRACTOR_N=1000000] python scripts/distractor_eval.py
 Runs entirely on CPU (never touches the TPU tunnel).
+
+ARMS=base,graph,ivf,tamper,fabrication,scaled,sparse (comma list; default
+"all") selects arm groups — at 10M each in-scope group rebuilds a full-size
+index, so running groups in SEPARATE processes bounds peak memory and makes
+the battery resumable; results merge into the existing artifact.
 """
 
 import json
@@ -95,37 +100,48 @@ def main() -> None:
     hp = load_holdout_phrasings()
     fs = FilteredSearch(idx)
 
-    out = {"n_distractors": N, "n_chunks": len(idx), "results": {}}
-    for name, questions, searcher, k in [
-        ("qa_subset_k3", qa, fs, 3),
-        ("qa_subset_k10", qa, fs, 10),
-        ("paraphrases_k10", paraphrased_questions(qa), fs, 10),
-        ("vector_eval_k10", ve, fs, 10),
-        # Hand-written held-out phrasings (round-5 verdict #1): colloquial /
-        # abbreviation / misspelled / compositional styles the pair
-        # generators cannot emit.
-        ("holdout_phrasings_k10", hp, fs, 10),
-        ("holdout_phrasings_k3", hp, fs, 3),
-        ("qa_subset_k10_raw_embedding", qa, idx, 10),
-        ("holdout_phrasings_k10_raw_embedding", hp, idx, 10),
-    ]:
-        t = time.perf_counter()
-        s = evaluate_retrieval(searcher, questions, k=k).summary()
-        s["wall_s"] = round(time.perf_counter() - t, 2)
-        out["results"][name] = s
-        print(
-            f"[{time.perf_counter()-t0:7.1f}s] {name}: recall={s['retrieval_recall']['mean']:.3f} "
-            f"precision={s['retrieval_precision']['mean']:.3f} zero={s['zero_recall_queries']}",
-            flush=True,
-        )
+    # Arm-group selection (10M memory/resume discipline — see module doc).
+    arms = set(filter(None, os.environ.get("ARMS", "all").split(",")))
 
-    # Write the main results BEFORE the optional IVF arm: a failure there
-    # (e.g. k-means OOM at 1M) must not discard an hour of eval work.
+    def on(name: str) -> bool:
+        return bool(arms & {"all", name})
+
     os.makedirs("eval_results", exist_ok=True)
     path = f"eval_results/distractor_eval_{N}.json"
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote", path)
+    out = {"n_distractors": N, "n_chunks": len(idx), "results": {}}
+    if os.path.exists(path) and arms != {"all"}:
+        with open(path) as f:
+            out["results"].update(json.load(f).get("results", {}))
+
+    if on("base"):
+        for name, questions, searcher, k in [
+            ("qa_subset_k3", qa, fs, 3),
+            ("qa_subset_k10", qa, fs, 10),
+            ("paraphrases_k10", paraphrased_questions(qa), fs, 10),
+            ("vector_eval_k10", ve, fs, 10),
+            # Hand-written held-out phrasings (round-5 verdict #1):
+            # colloquial / abbreviation / misspelled / compositional styles
+            # the pair generators cannot emit.
+            ("holdout_phrasings_k10", hp, fs, 10),
+            ("holdout_phrasings_k3", hp, fs, 3),
+            ("qa_subset_k10_raw_embedding", qa, idx, 10),
+            ("holdout_phrasings_k10_raw_embedding", hp, idx, 10),
+        ]:
+            t = time.perf_counter()
+            s = evaluate_retrieval(searcher, questions, k=k).summary()
+            s["wall_s"] = round(time.perf_counter() - t, 2)
+            out["results"][name] = s
+            print(
+                f"[{time.perf_counter()-t0:7.1f}s] {name}: recall={s['retrieval_recall']['mean']:.3f} "
+                f"precision={s['retrieval_precision']['mean']:.3f} zero={s['zero_recall_queries']}",
+                flush=True,
+            )
+
+        # Write the main results BEFORE the optional arms: a failure there
+        # (e.g. k-means OOM at 1M) must not discard an hour of eval work.
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path)
 
     # ---- GRAPH / HYBRID quality arms (round-4 verdict #5) ------------------
     # Same labeled questions through the 6-branch strategy dispatch, the
@@ -133,7 +149,7 @@ def main() -> None:
     # pipeline leg = what graph fusion adds on top of FilteredSearch). The
     # graph is built from the real records + 2,000 multi-company distractor
     # chunks as fact noise (company-scoped per record).
-    if os.environ.get("GRAPH_ARMS", "1") == "1":
+    if on("graph") and os.environ.get("GRAPH_ARMS", "1") == "1":
         from ragfin_tpu.eval.graph_arms import graph_hybrid_arms
 
         t = time.perf_counter()
@@ -181,6 +197,8 @@ def main() -> None:
         out["n_inscope"] = INSCOPE_N
         para = paraphrased_questions(qa)
         for tag, tiers in [("tamper", ("reword", "dupe")), ("fabrication", ("regen",))]:
+            if not on(tag):
+                continue
             ins = generate_inscope_distractors(real, INSCOPE_N, seed=11, tiers=tiers)
             idx_in = DeviceVectorIndex.build(list(real) + dis + ins)
             print(
@@ -231,7 +249,7 @@ def main() -> None:
     # tests/test_conflict.py). What remains detectable is the cross-chunk
     # observable: contested scopes (conflict flags + abstention) always, and
     # continuity adjudication while authentic corroborators dominate.
-    if INSCOPE_N and os.environ.get("SCALED_ARMS", "1") == "1":
+    if INSCOPE_N and os.environ.get("SCALED_ARMS", "1") == "1" and (on("scaled") or on("sparse")):
         from ragfin_tpu.retrieval.conflict import (
             ContinuityAdjudicatedSearch,
             detect_conflicts,
@@ -264,46 +282,54 @@ def main() -> None:
             n = max(len(questions), 1)
             return {"top": round(flagged_top / n, 4), "any": round(flagged_any / n, 4)}
 
-        # False-flag gate on the CLEAN 1M corpus first: flag rate must be 0.
-        clean_rate = conflict_rate(fs, qa)
-        out["results"]["conflict_flag_rate_clean"] = clean_rate
-        print(f"[{time.perf_counter()-t0:7.1f}s] conflict flags (clean 1M): {clean_rate}", flush=True)
+        if on("scaled"):
+            # False-flag gate on the CLEAN corpus first: flag rate must be 0.
+            clean_rate = conflict_rate(fs, qa)
+            out["results"]["conflict_flag_rate_clean"] = clean_rate
+            print(f"[{time.perf_counter()-t0:7.1f}s] conflict flags (clean): {clean_rate}", flush=True)
 
-        ins = generate_inscope_distractors(real, INSCOPE_N, seed=13, tiers=("scaled",))
-        idx_sc = DeviceVectorIndex.build(list(real) + dis + ins)
-        print(
-            f"[{time.perf_counter()-t0:7.1f}s] scaled index built: {len(idx_sc):,}",
-            flush=True,
-        )
-        undefended = FilteredSearch(idx_sc)
-        integrity = FilteredSearch(idx_sc, consistency_weight=0.95)
-        run_arm("qa_k10_inscope_scaled_undefended", qa, undefended, 10)
-        run_arm("qa_k10_inscope_scaled_integrity", qa, integrity, 10)
-        out["results"]["conflict_flag_rate_scaled"] = conflict_rate(undefended, qa)
-        print(
-            f"[{time.perf_counter()-t0:7.1f}s] conflict flags (scaled): "
-            f"{out['results']['conflict_flag_rate_scaled']}",
-            flush=True,
-        )
-        out["results"]["conflict_flag_rate_fabrication"] = None  # set below if arm runs
-        del idx_sc, undefended, integrity
-        with open(path, "w") as f:
-            json.dump(out, f, indent=2)
+            ins = generate_inscope_distractors(real, INSCOPE_N, seed=13, tiers=("scaled",))
+            idx_sc = DeviceVectorIndex.build(list(real) + dis + ins)
+            print(
+                f"[{time.perf_counter()-t0:7.1f}s] scaled index built: {len(idx_sc):,}",
+                flush=True,
+            )
+            undefended = FilteredSearch(idx_sc)
+            integrity = FilteredSearch(idx_sc, consistency_weight=0.95)
+            run_arm("qa_k10_inscope_scaled_undefended", qa, undefended, 10)
+            run_arm("qa_k10_inscope_scaled_integrity", qa, integrity, 10)
+            out["results"]["conflict_flag_rate_scaled"] = conflict_rate(undefended, qa)
+            print(
+                f"[{time.perf_counter()-t0:7.1f}s] conflict flags (scaled): "
+                f"{out['results']['conflict_flag_rate_scaled']}",
+                flush=True,
+            )
+            del idx_sc, undefended, integrity
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
 
-        # Fabrication conflict flags: regen forgeries are co-scoped
-        # internally-consistent contradictions — ranking is impossible
-        # (documented bound) but flagging is not.
-        ins_fab = generate_inscope_distractors(real, min(INSCOPE_N, 2000), seed=17, tiers=("regen",))
-        idx_fab = DeviceVectorIndex.build(list(real) + ins_fab)
-        out["results"]["conflict_flag_rate_fabrication"] = conflict_rate(
-            FilteredSearch(idx_fab), qa
-        )
-        print(
-            f"[{time.perf_counter()-t0:7.1f}s] conflict flags (fabrication): "
-            f"{out['results']['conflict_flag_rate_fabrication']}",
-            flush=True,
-        )
-        del idx_fab
+            # Fabrication conflict flags: regen forgeries are co-scoped
+            # internally-consistent contradictions — ranking is impossible
+            # (documented bound) but flagging is not.
+            ins_fab = generate_inscope_distractors(real, min(INSCOPE_N, 2000), seed=17, tiers=("regen",))
+            idx_fab = DeviceVectorIndex.build(list(real) + ins_fab)
+            out["results"]["conflict_flag_rate_fabrication"] = conflict_rate(
+                FilteredSearch(idx_fab), qa
+            )
+            print(
+                f"[{time.perf_counter()-t0:7.1f}s] conflict flags (fabrication): "
+                f"{out['results']['conflict_flag_rate_fabrication']}",
+                flush=True,
+            )
+            del idx_fab
+
+        if not on("sparse"):
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
+            print("wrote", path, "(scaled arms, sparse skipped)")
+            sparse_enabled = False
+        else:
+            sparse_enabled = True
 
         # SPARSE adversary: 5 scaled forgeries per gold chunk, inserted
         # BEFORE the gold rows and with ids that sort before gold's — the
@@ -311,55 +337,58 @@ def main() -> None:
         # (device row order and sparse-rerank id order both favor the
         # forger here). Continuity adjudication is the defense with teeth
         # in this regime: authentic corroborators still dominate.
-        import numpy as np
+        if sparse_enabled:
+            import numpy as np
 
-        from ragfin_tpu.data.models import IndexedChunk
-        from ragfin_tpu.eval.distractors import _scale_uniformly
+            from ragfin_tpu.data.models import IndexedChunk
+            from ragfin_tpu.eval.distractors import _scale_uniformly
 
-        r = np.random.default_rng(23)
-        forged = []
-        for gi, g in enumerate(real):
-            for c in range(5):
-                forged.append(
-                    IndexedChunk(
-                        id=f"aa_forged_{gi:02d}_{c}",
-                        text=_scale_uniformly(g.text, r),
-                        period=g.period,
-                        chunk_type=g.chunk_type,
-                        statement_type=g.statement_type,
-                        primary_value=g.primary_value,
-                        company=g.company,
+            r = np.random.default_rng(23)
+            forged = []
+            for gi, g in enumerate(real):
+                for c in range(5):
+                    forged.append(
+                        IndexedChunk(
+                            id=f"aa_forged_{gi:02d}_{c}",
+                            text=_scale_uniformly(g.text, r),
+                            period=g.period,
+                            chunk_type=g.chunk_type,
+                            statement_type=g.statement_type,
+                            primary_value=g.primary_value,
+                            company=g.company,
+                        )
                     )
-                )
-        idx_sp = DeviceVectorIndex.build(forged + list(real) + dis)
-        und = FilteredSearch(idx_sp)
-        run_arm("qa_k10_sparse_scaled_undefended", qa, und, 10)
-        run_arm(
-            "qa_k10_sparse_scaled_continuity",
-            qa,
-            ContinuityAdjudicatedSearch(und, idx_sp),
-            10,
-        )
-        out["results"]["sparse_scaled_notes"] = (
-            "5 scale-consistent forgeries per gold chunk (80 total), worst-"
-            "case insertion/id order so every exact-duplicate tie-break "
-            "favors the forger. Undefended = tie-break collapse; continuity "
-            "= best-effort cross-period adjudication "
-            "(retrieval/conflict.py) — a measurable recall improvement, NOT "
-            "recovery: scale-consistent forgeries are in-band "
-            "unidentifiable (authentic QoQ drift ~0.07 median |log ratio| "
-            "exceeds the flattest adversarial combo ~0.025; coherence "
-            "selection picks forged sets 40/40 — "
-            "scripts/scale_adjudication_probe.py). Scaling attacks "
-            "therefore join fabrication under the impossibility bound; the "
-            "production defense is conflict FLAGGING + abstention (rates "
-            "above; VectorRAG answer_mode='conflict')."
-        )
-        del idx_sp, und
-        with open(path, "w") as f:
-            json.dump(out, f, indent=2)
-        print("wrote", path, "(with scaled/conflict arms)")
+            idx_sp = DeviceVectorIndex.build(forged + list(real) + dis)
+            und = FilteredSearch(idx_sp)
+            run_arm("qa_k10_sparse_scaled_undefended", qa, und, 10)
+            run_arm(
+                "qa_k10_sparse_scaled_continuity",
+                qa,
+                ContinuityAdjudicatedSearch(und, idx_sp),
+                10,
+            )
+            out["results"]["sparse_scaled_notes"] = (
+                "5 scale-consistent forgeries per gold chunk (80 total), worst-"
+                "case insertion/id order so every exact-duplicate tie-break "
+                "favors the forger. Undefended = tie-break collapse; continuity "
+                "= best-effort cross-period adjudication "
+                "(retrieval/conflict.py) — a measurable recall improvement, NOT "
+                "recovery: scale-consistent forgeries are in-band "
+                "unidentifiable (authentic QoQ drift ~0.07 median |log ratio| "
+                "exceeds the flattest adversarial combo ~0.025; coherence "
+                "selection picks forged sets 40/40 — "
+                "scripts/scale_adjudication_probe.py). Scaling attacks "
+                "therefore join fabrication under the impossibility bound; the "
+                "production defense is conflict FLAGGING + abstention (rates "
+                "above; VectorRAG answer_mode='conflict')."
+            )
+            del idx_sp, und
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
+            print("wrote", path, "(with scaled/conflict arms)")
 
+    if not on("ivf"):
+        return
     try:
         _ivf_agreement(idx, qa, out)
     except Exception as e:

@@ -19,6 +19,11 @@ directly readable; clients still cross real HTTP + MCP-SSE hops.
 
 Usage: [SERVE_N=1000000] [CLIENTS=8,32] [DURATION=45] python scripts/serving_concurrent.py
 Appends one line per client level to scripts/probe_results.log.
+
+SERVE_DTYPE accepts a comma list ("bfloat16,int8") for the round-4 verdict
+#6 back-to-back mode: both index tiers are built up front and each client
+level alternates dtype within ONE process/tunnel window, so window variance
+cancels out of the int8-vs-bf16 comparison.
 """
 
 import json
@@ -61,56 +66,65 @@ def main() -> None:
     _stage(f"backend={jax.default_backend()}; building {N}-distractor corpus")
     real = build_corpus(os.path.join(REF, "extract_data"))
     chunks = list(real) + generate_distractors(N, seed=1)
-    t0 = time.perf_counter()
     os.environ.setdefault("RAGFIN_BATCH_QUERIES", "1")
-    os.environ.setdefault("RAGFIN_INDEX_DTYPE", DTYPE)
     backend = os.environ.get("SERVE_BACKEND", "hashed")
-    prebuilt = None
-    if backend == "trained":
-        # Production-default backend: reuse scripts/trained_eval.py's slab
-        # cache (identical corpus: same distractor seed/order), so the 1M
-        # encode is free when the trained eval already ran this checkpoint.
-        from ragfin_tpu.index.vector_index import DeviceVectorIndex
-        from ragfin_tpu.models.embedder import TrainedEmbedder
 
-        os.environ["DISTRACTOR_N"] = str(N)  # slab dir must match this corpus
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        import trained_eval as te
+    def build_stack(dtype: str):
+        t0 = time.perf_counter()
+        os.environ["RAGFIN_INDEX_DTYPE"] = dtype
+        prebuilt = None
+        if backend == "trained":
+            # Production-default backend: reuse scripts/trained_eval.py's slab
+            # cache (identical corpus: same distractor seed/order), so the 1M
+            # encode is free when the trained eval already ran this checkpoint.
+            from ragfin_tpu.index.vector_index import DeviceVectorIndex
+            from ragfin_tpu.models.embedder import TrainedEmbedder
 
-        assert te.N == N, f"slab cache is for N={te.N}, this run is N={N}"
-        embedder = TrainedEmbedder(batch_size=512, pad_multiple=192)
-        matrix = te.encode_corpus(embedder, [c.text for c in chunks], t0=time.perf_counter())
-        prebuilt = DeviceVectorIndex(matrix, chunks)
-        prebuilt.embedder = TrainedEmbedder()  # query-shape pad_multiple=16
-    else:
-        # Measure the RPC/batcher stack with the weight-free lexical
-        # featurizer (same backend as every serving_e2e line).
-        os.environ.setdefault("RAGFIN_EMBED_BACKEND", "hashed")
-    engine = RagFinEngine(chunks=chunks, vector_index=prebuilt)
-    build_s = time.perf_counter() - t0
-    assert engine.batcher is not None, "batcher must be on for this benchmark"
-    _stage(f"engine up in {build_s:.0f}s; launching vector MCP + REST adapter")
+            os.environ["DISTRACTOR_N"] = str(N)  # slab dir must match this corpus
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import trained_eval as te
 
-    servers = launch(
-        services=("vector_mcp", "vector_adapter"),
-        ports={"vector_mcp": 0, "vector_adapter": 0},
-        engine=engine,
-    )
-    url = f"http://127.0.0.1:{servers['vector_adapter'].port}/search"
+            assert te.N == N, f"slab cache is for N={te.N}, this run is N={N}"
+            import jax.numpy as jnp
+
+            embedder = TrainedEmbedder(batch_size=512, pad_multiple=192)
+            matrix = te.encode_corpus(embedder, [c.text for c in chunks], t0=time.perf_counter())
+            jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}[dtype]
+            prebuilt = DeviceVectorIndex(matrix, chunks, dtype=jdtype)
+            prebuilt.embedder = TrainedEmbedder()  # query-shape pad_multiple=16
+        else:
+            # Measure the RPC/batcher stack with the weight-free lexical
+            # featurizer (same backend as every serving_e2e line).
+            os.environ.setdefault("RAGFIN_EMBED_BACKEND", "hashed")
+        engine = RagFinEngine(chunks=chunks, vector_index=prebuilt)
+        assert engine.batcher is not None, "batcher must be on for this benchmark"
+        _stage(f"[{dtype}] engine up in {time.perf_counter()-t0:.0f}s; launching servers")
+        servers = launch(
+            services=("vector_mcp", "vector_adapter"),
+            ports={"vector_mcp": 0, "vector_adapter": 0},
+            engine=engine,
+        )
+        return engine, servers, f"http://127.0.0.1:{servers['vector_adapter'].port}/search"
 
     qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
     questions = [q.question for q in qa] + [q.question for q in paraphrased_questions(qa)]
 
-    # Warm serially: compile every filter-shape combination once.
-    _stage(f"warming {len(questions)} question shapes through the adapter")
-    t0 = time.perf_counter()
-    with httpx.Client(timeout=600) as c:
-        for q in questions:
-            r = c.post(url, json={"query": q, "top_k": 3})
-            r.raise_for_status()
-    _stage(f"warm pass {time.perf_counter()-t0:.1f}s; driving load")
+    dtypes = [d.strip() for d in DTYPE.split(",") if d.strip()]
+    stacks = {}
+    for d in dtypes:
+        engine, servers, url = build_stack(d)
+        stacks[d] = (engine, servers, url)
+        # Warm serially: compile every filter-shape combination once.
+        _stage(f"[{d}] warming {len(questions)} question shapes through the adapter")
+        t0 = time.perf_counter()
+        with httpx.Client(timeout=600) as c:
+            for q in questions:
+                r = c.post(url, json={"query": q, "top_k": 3})
+                r.raise_for_status()
+        _stage(f"[{d}] warm pass {time.perf_counter()-t0:.1f}s")
 
-    for n_clients in CLIENTS:
+    for n_clients, dtype in [(c, d) for c in CLIENTS for d in dtypes]:
+        engine, servers, url = stacks[dtype]
         # Per-level stats from a clean slate (batch-size histogram included):
         # nothing is in flight between levels, so a reset is safe.
         METRICS.reset()
@@ -162,8 +176,10 @@ def main() -> None:
         qps = done / wall
         mean_batch = served / batches if batches else 0.0
         tag = "" if backend == "hashed" else f" backend={backend}"
-        if DTYPE != "bfloat16":
-            tag += f" dtype={DTYPE}"
+        if dtype != "bfloat16" or len(dtypes) > 1:
+            tag += f" dtype={dtype}"
+        if len(dtypes) > 1:
+            tag += " [back-to-back]"
         line = (
             f"serving_concurrent N={N} C={n_clients}{tag}: {qps:,.1f} QPS sustained "
             f"p50={all_lat[len(all_lat)//2]:.0f} ms p95={all_lat[int(len(all_lat)*0.95)]:.0f} ms "
@@ -175,9 +191,10 @@ def main() -> None:
             f.write(line + "\n")
         print(line)
 
-    for s in servers.values():
-        s.stop()
-    engine.close()
+    for engine, servers, _ in stacks.values():
+        for s in servers.values():
+            s.stop()
+        engine.close()
 
 
 if __name__ == "__main__":

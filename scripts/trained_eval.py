@@ -105,9 +105,20 @@ def main() -> None:
     print(f"[{time.perf_counter()-t0:7.1f}s] corpus: {len(chunks):,} chunks", flush=True)
 
     matrix = encode_corpus(embedder, [c.text for c in chunks], t0)
-    idx = DeviceVectorIndex(matrix, chunks)
+    # DTYPE=int8 is the 10M tier: an f32 [384, 10M] matrix is 15.4 GB and
+    # does not fit 16 GB HBM next to workspace; int8 + host exact repair is
+    # the production configuration at that scale (BENCH_NOTES 10M headline).
+    import jax.numpy as jnp
+
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[
+        os.environ.get("TRAINED_DTYPE", "f32")
+    ]
+    idx = DeviceVectorIndex(matrix, chunks, dtype=dtype)
     idx.embedder = embedder  # query encoding path
-    print(f"[{time.perf_counter()-t0:7.1f}s] index built: {len(idx):,}", flush=True)
+    print(
+        f"[{time.perf_counter()-t0:7.1f}s] index built: {len(idx):,} (dtype {dtype.__name__})",
+        flush=True,
+    )
 
     qa = load_qa_subset(os.path.join(REF, "qa_subset.json"))
     ve = load_vector_eval(os.path.join(REF, "vector_rag_evaluation_dataset.json"))

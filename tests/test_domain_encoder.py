@@ -299,3 +299,53 @@ class TestPackagedCheckpoint:
         assert [h.id for h in loaded.search_texts([q], top_k=3)[0]] == [
             h.id for h in idx.search_texts([q], top_k=3)[0]
         ]
+
+
+class TestEncoderRegressionGate:
+    """Round-5 no-regression gate (VERDICT #1): the SHIPPED checkpoint must
+    clear query-tower floors on BOTH the template-style qa_subset and the
+    hand-written holdout phrasings. Floors sit at the v3 measurement
+    (qa gold-wins 0.80, holdout 0.48, scripts/encoder_diag.py) minus noise
+    slack; a v4+ candidate that regresses either set must not ship as the
+    default checkpoint."""
+
+    @pytest.fixture(scope="class")
+    def diag(self, reference_root):
+        from ragfin_tpu.models.domain_encoder import DEFAULT_CKPT_DIR
+
+        if not os.path.exists(os.path.join(DEFAULT_CKPT_DIR, "config.json")):
+            pytest.skip("no packaged checkpoint in this tree")
+        from ragfin_tpu.data.loader import build_corpus
+        from ragfin_tpu.eval.datasets import load_holdout_phrasings, load_qa_subset
+        from ragfin_tpu.models.embedder import TrainedEmbedder
+
+        embedder = TrainedEmbedder()
+        chunks = build_corpus(os.path.join(reference_root, "extract_data"))
+        docs = np.asarray(embedder.encode_texts([c.text for c in chunks]))
+        ids = [c.id for c in chunks]
+
+        def gold_wins(questions):
+            q_emb = np.asarray(embedder.encode_texts([q.question for q in questions]))
+            sims = q_emb @ docs.T
+            wins = n = 0
+            for qi, q in enumerate(questions):
+                gold_idx = [i for i, cid in enumerate(ids) if cid in set(q.expected_chunks)]
+                if not gold_idx:
+                    continue
+                n += 1
+                row = sims[qi]
+                best_gold = max(float(row[i]) for i in gold_idx)
+                best_other = max(
+                    float(row[i]) for i in range(len(ids)) if i not in gold_idx
+                )
+                wins += best_gold > best_other
+            return wins / n
+
+        qa = load_qa_subset(os.path.join(reference_root, "qa_subset.json"))
+        return gold_wins(qa), gold_wins(load_holdout_phrasings())
+
+    def test_qa_gold_wins_floor(self, diag):
+        assert diag[0] >= 0.78, f"qa gold-wins regressed: {diag[0]:.3f} < 0.78"
+
+    def test_holdout_gold_wins_floor(self, diag):
+        assert diag[1] >= 0.45, f"holdout gold-wins regressed: {diag[1]:.3f} < 0.45"

@@ -165,7 +165,11 @@ class RagFinEngine:
             # records without source chunks and still needs every warmup
             # below.)
             return
-        for top_k in (1, self.settings.default_top_k, 10):
+        # The single-query serving surfaces fetch a WIDENED shortlist for
+        # conflict detection (VectorRAG.detection_fetch_k, round-5) — that
+        # width is a distinct executable and must be warmed like the rest.
+        detect_k = self.vector_rag._detection_fetch(self.settings.default_top_k)
+        for top_k in (1, self.settings.default_top_k, 10, detect_k):
             try:
                 self.vector_index.search_texts(["warmup query"], top_k=top_k)
             except Exception:
@@ -189,9 +193,7 @@ class RagFinEngine:
                 # nothing: 2..8 queries all run the Q=8 executable.)
                 for reps in (1, 8, 64):
                     try:
-                        searcher.search_texts(
-                            [q] * reps, top_k=self.settings.default_top_k
-                        )
+                        searcher.search_texts([q] * reps, top_k=detect_k)
                     except Exception as e:  # noqa: BLE001 — warmup must not kill startup
                         # A swallowed failure here means the first PRODUCTION
                         # query pays the ~80-90 s tier-group compile this

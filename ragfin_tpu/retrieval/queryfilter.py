@@ -122,8 +122,12 @@ def extract_filters(question: str, known_periods: Sequence[str]) -> QueryFilters
                 pairs.append(shifted(int(m.group(qg)), y, shift))
             spans.append(m.span())
     # Calendar month+year mentions ("the June 2023 quarter", "quarter ending
-    # September 2023") map through the fiscal calendar.
+    # September 2023") map through the fiscal calendar. "may" doubles as an
+    # English modal ("how much may 2024 bring?") — accept it as a month only
+    # when the original question capitalizes it.
     for m in _MONTH_YEAR.finditer(ql):
+        if m.group(1) == "may" and question[m.start():m.start() + 1] != "M":
+            continue
         qn, offset = _MONTH_QUARTER[m.group(1)]
         pairs.append(shifted(qn, str(int(m.group(2)) + offset), relative_shift(m.start())))
         spans.append(m.span())

@@ -383,6 +383,12 @@ class TestPeriodGrammar:
     def test_three_months_idiom(self):
         assert self._periods("the final three months of fiscal 2024") == ["Q4_FY2024"]
 
+    def test_may_modal_vs_month(self):
+        # Lowercase "may" is the English modal; only a capitalized May
+        # counts as the month.
+        assert self._periods("how much may 2024 bring for the bank") == []
+        assert self._periods("deposits as of May 2023") == ["Q1_FY2024"]
+
     def test_relative_quarter_offset(self):
         assert self._periods("the quarter right after June 2023") == ["Q2_FY2024"]
         assert self._periods("the quarter before Q3 FY2024") == ["Q2_FY2024"]

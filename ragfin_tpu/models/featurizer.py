@@ -105,23 +105,34 @@ class HashedFeaturizer:
                 counts[fnv1a64(f"{a}_{b}".encode()) % self.vocab_size] += self.bigram_weight
         return counts
 
-    def fit(self, texts: Iterable[str]) -> "HashedFeaturizer":
+    def fit(self, texts: Iterable[str], batch: int = 65536) -> "HashedFeaturizer":
         """Fit IDF statistics over a corpus (smooth idf, like sklearn).
 
         Uses the native batch featurizer (native/fasthash.cpp) when built —
-        the host-side hot loop at million-chunk corpus scale."""
+        the host-side hot loop at million-chunk corpus scale. Runs in
+        ``batch``-sized slices: a single whole-corpus native call allocates
+        [N, 4096] int32 (153 GB at 10M chunks — round-5 OOM), and the
+        per-row Python df loop was O(N * feats); per-batch ``np.unique``
+        counts document frequency vectorized (feature ids are unique per
+        row by construction — repeats fold into tf)."""
+        import numpy as np
+
         texts = list(texts)
         df: Counter = Counter()
-        native = self._native_batch(texts)
-        if native is not None:
-            ids, _tf, lens = native
-            for row, length in enumerate(lens):
-                for fid in ids[row, :length]:
-                    df[int(fid)] += 1
-        else:
-            for text in texts:
-                for fid in self.feature_ids(text):
-                    df[fid] += 1
+        for start in range(0, len(texts), batch):
+            chunk = texts[start : start + batch]
+            native = self._native_batch(chunk)
+            if native is not None:
+                ids, _tf, lens = native
+                cols = np.arange(ids.shape[1])
+                valid = cols[None, :] < np.asarray(lens)[:, None]
+                vals, counts = np.unique(ids[valid], return_counts=True)
+                for v, c in zip(vals.tolist(), counts.tolist()):
+                    df[v] += c
+            else:
+                for text in chunk:
+                    for fid in self.feature_ids(text):
+                        df[fid] += 1
         n = len(texts)
         self.n_docs = n
         self.idf = {

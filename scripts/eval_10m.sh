@@ -8,7 +8,9 @@ set -u
 cd "$(dirname "$0")/.."
 N=${DISTRACTOR_N:-10000000}
 LOG=${LOG:-/tmp/de10m.log}
-for group in base,graph tamper fabrication scaled sparse ivf; do
+# Priority order: recall + conflict-rate arms are the round-5 verdict gates;
+# tamper/fabrication/sparse follow; ivf last (k-means at 10M on one core).
+for group in base,graph scaled tamper fabrication sparse ivf; do
   echo "=== ARMS=$group $(date +%H:%M:%S) ===" >> "$LOG"
   DISTRACTOR_N=$N ARMS=$group timeout 14400 python scripts/distractor_eval.py >> "$LOG" 2>&1 \
     || echo "=== ARMS=$group FAILED rc=$? ===" >> "$LOG"

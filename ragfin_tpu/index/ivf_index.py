@@ -167,9 +167,20 @@ class IVFVectorIndex:
         removing kernel-precision score epsilon from the results: residual
         error is then PURELY cluster pruning (a true neighbor in an unprobed
         cell), and full probe equals exact search (tested).
+
+        Float cells score at HIGHEST MXU precision: real (trained-encoder)
+        embedding spaces pack the whole top-10 into ~5e-4 of cosine score —
+        far below bf16 resolution (~4e-3 at 0.85) — so "fast" precision
+        randomizes rank inside a band much wider than any repair shortlist
+        (measured round 5: full-probe overlap 0.81 fast vs ~1.0 highest).
+        int8 cells keep their integer path; their quantization epsilon is
+        what the repair exists for.
         """
         q = jnp.asarray(query_embeddings, jnp.float32)
         k = min(top_k, max(self.n, 1))
+        # bf16 cells must stay "fast": f32 queries against a bf16 corpus at
+        # HIGHEST is the mixed-dtype matmul Mosaic rejects (CLAUDE.md).
+        precision = "exact" if self.ivf.cells.dtype == jnp.float32 else "fast"
         repair = (
             self._exact_rows is not None and self.n > 0
             if exact_repair is None
@@ -177,11 +188,13 @@ class IVFVectorIndex:
         )
         if not repair:
             return ivf_topk(
-                q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q
+                q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q,
+                precision=precision,
             )
         kr = min(_repair_width(k), max(self.n, 1))
         _, ids = ivf_topk(
-            q, self.ivf, kr, nprobe=nprobe or self.nprobe, block_q=block_q
+            q, self.ivf, kr, nprobe=nprobe or self.nprobe, block_q=block_q,
+            precision=precision,
         )
         return _exact_rerank_host(np.asarray(q, np.float32), np.asarray(ids), self._exact_rows, k)
 

@@ -26,6 +26,71 @@ from ..ops.ivf import IVFIndex, build_ivf, ivf_topk
 from ..ops.topk import _INT_MAX
 from .vector_index import _exact_rerank_host, _repair_width
 
+# Per-group cap on stored duplicate ids: a boundary tie group contributes at
+# most top_k members to an exact result, so the expansion never needs more
+# than the group's k lowest ids; 64 covers every production k.
+_DUP_CAP = 64
+
+
+def _dup_groups_from_rows(rows: np.ndarray, cap: int = _DUP_CAP):
+    """Duplicate-row groups of a host embedding matrix, for exact tie repair.
+
+    Template near-duplicates embed BITWISE identically under the trained
+    encoder (collapse_numbers maps figure-perturbed chunks to the same token
+    multiset), producing exact-tie groups of hundreds of members at 1M
+    distractors (measured: up to 417 rows sharing one cosine score across
+    the rank-10 boundary). The IVF kernel tie-breaks by PERMUTED position,
+    so its shortlist holds an arbitrary subset of such a group while the
+    exact oracle returns the group's lowest ORIGINAL ids — no shortlist
+    width can close that (the group exceeds any fixed width).
+
+    Grouping is by a 64-bit hash of the row bytes — a SUPERSET of the true
+    duplicate groups (hash collisions can only merge distinct rows, never
+    split identical ones), which is safe because the repair re-scores every
+    expanded candidate exactly: a falsely-merged candidate just sorts to its
+    true rank.
+
+    Returns ``None`` when no duplicates exist, else
+    ``(member_ids, member_group, group_offsets, group_ids)``:
+    ``member_ids`` sorted ascending for searchsorted lookup, ``member_group``
+    the group index per member, ``group_ids`` the concatenated per-group
+    lowest-``cap`` ids (ascending) sliced by ``group_offsets``.
+    """
+    n = rows.shape[0]
+    if n == 0:
+        return None
+    w = np.ascontiguousarray(rows).view(np.uint8).reshape(n, -1)
+    pad = -w.shape[1] % 8
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    w = w.view(np.uint64)
+    rng = np.random.default_rng(0xD1CE)
+    mult = (rng.integers(0, 2**62, size=w.shape[1], dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    h = np.empty(n, np.uint64)
+    step = 1_000_000  # bound the [step, words] uint64 transient (~1.5 GB)
+    with np.errstate(over="ignore"):
+        for s in range(0, n, step):
+            h[s : s + step] = (w[s : s + step] * mult).sum(axis=1, dtype=np.uint64)
+    order = np.argsort(h, kind="stable")  # equal hashes keep ascending id
+    hs = h[order]
+    bound = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    lens = np.diff(np.r_[bound, n])
+    dup_run = lens > 1
+    if not dup_run.any():
+        return None
+    run_of = np.repeat(np.arange(lens.size), lens)
+    keep = dup_run[run_of]
+    members = order[keep].astype(np.int64)  # run-major, ascending id in run
+    member_group = (np.cumsum(dup_run) - 1)[run_of][keep].astype(np.int32)
+    # Lowest `cap` ids per group: position within the run < cap.
+    pos_in_run = np.arange(n) - np.repeat(bound, lens)
+    low = keep & (pos_in_run < cap)
+    group_ids = order[low].astype(np.int64)
+    glens = np.minimum(lens[dup_run], cap)
+    group_offsets = np.r_[0, np.cumsum(glens)].astype(np.int64)
+    by_id = np.argsort(members, kind="stable")
+    return members[by_id], member_group[by_id], group_offsets, group_ids
+
 
 class IVFVectorIndex:
     """Approximate (cluster-pruned) search over a chunk corpus.
@@ -67,6 +132,7 @@ class IVFVectorIndex:
                     f"exact_rows rows ({exact_rows.shape[0]}) != n_valid ({self.n})"
                 )
         self._exact_rows = exact_rows
+        self._dup_cache = False  # lazily replaced by _dup_groups_from_rows(...)
 
     supports_filters = False  # filters defeat cluster pruning (see module doc)
 
@@ -191,12 +257,58 @@ class IVFVectorIndex:
                 q, self.ivf, k, nprobe=nprobe or self.nprobe, block_q=block_q,
                 precision=precision,
             )
-        kr = min(_repair_width(k), max(self.n, 1))
+        # Wider shortlist than the dense int8 tier's 16: the IVF kernel's
+        # HIGHEST-precision f32 scores carry ~5e-5 effective error (bf16
+        # multi-pass MXU accumulation), and trained embedding spaces pack
+        # >16 near-ties inside that band around the rank-10 boundary —
+        # measured: width 16 loses 3/400 hits at 1M full probe where width
+        # 64 loses none (noise-sweep sim at sigma=5e-5 reproduces both).
+        kr = min(max(_repair_width(k), 64), max(self.n, 1))
         _, ids = ivf_topk(
             q, self.ivf, kr, nprobe=nprobe or self.nprobe, block_q=block_q,
             precision=precision,
         )
-        return _exact_rerank_host(np.asarray(q, np.float32), np.asarray(ids), self._exact_rows, k)
+        ids = self._expand_ties(np.asarray(ids), k)
+        return _exact_rerank_host(np.asarray(q, np.float32), ids, self._exact_rows, k)
+
+    def _expand_ties(self, ids: np.ndarray, k: int) -> np.ndarray:
+        """Widen a device shortlist with each member's duplicate-group
+        lowest ids (see :func:`_dup_groups_from_rows`). The kernel tie-breaks
+        exact-score groups by permuted position; every group member scores
+        bitwise identically, so whichever member survives the shortlist
+        stands in for the group — the expansion swaps it for the group's
+        ``k`` LOWEST original ids, and the exact host rerank's oracle
+        tie-break then reproduces exact search even when the tie group is
+        hundreds of members wide (measured 417 at 1M trained distractors)."""
+        if self._dup_cache is False:
+            self._dup_cache = (
+                _dup_groups_from_rows(self._exact_rows)
+                if self._exact_rows is not None
+                else None
+            )
+        dg = self._dup_cache
+        if dg is None:
+            return ids
+        member_ids, member_group, offs, gids = dg
+        qn, kr = ids.shape
+        pos = np.searchsorted(member_ids, ids)
+        posc = np.clip(pos, 0, max(len(member_ids) - 1, 0))
+        hit = member_ids[posc] == ids
+        if not hit.any():
+            return ids
+        rows, width = [], kr
+        for r in range(qn):
+            row = ids[r]
+            groups = np.unique(member_group[posc[r][hit[r]]])
+            if groups.size:
+                extra = [gids[offs[g] : offs[g] + min(offs[g + 1] - offs[g], k)] for g in groups]
+                row = np.unique(np.concatenate([row.astype(np.int64), *extra]))
+            rows.append(row)
+            width = max(width, len(row))
+        out = np.full((qn, width), _INT_MAX, np.int64)
+        for r, row in enumerate(rows):
+            out[r, : len(row)] = row
+        return out
 
     def search_texts(
         self,

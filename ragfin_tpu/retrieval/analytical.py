@@ -242,10 +242,9 @@ class AnalyticalAnswerer:
     def _names_other_company(self, ql: str) -> bool:
         if not self.company or not self._other_companies:
             return False
-        from .queryfilter import FilteredSearch
+        from .queryfilter import _GENERIC_NAME_TOKENS as generic
 
         qtokens = set(re.findall(r"[a-z0-9&]+", ql))
-        generic = FilteredSearch._GENERIC_NAME_TOKENS
         for c in self._other_companies:
             toks = set(c.lower().split()) - generic
             if toks and toks & qtokens:

@@ -304,10 +304,11 @@ class TestPackagedCheckpoint:
 class TestEncoderRegressionGate:
     """Round-5 no-regression gate (VERDICT #1): the SHIPPED checkpoint must
     clear query-tower floors on BOTH the template-style qa_subset and the
-    hand-written holdout phrasings. Floors sit at the v3 measurement
-    (qa gold-wins 0.80, holdout 0.48, scripts/encoder_diag.py) minus noise
-    slack; a v4+ candidate that regresses either set must not ship as the
-    default checkpoint."""
+    hand-written holdout phrasings. Floors sit at the shipped v4
+    measurement (qa gold-wins 0.88, holdout 0.83, scripts/encoder_diag.py)
+    minus noise slack; a v5+ candidate that regresses either set must not
+    ship as the default checkpoint. (v3's floors were 0.78/0.45 — the BPE
+    subword + augmentation retrain moved both, so the gate moved with it.)"""
 
     @pytest.fixture(scope="class")
     def diag(self, reference_root):
@@ -345,7 +346,7 @@ class TestEncoderRegressionGate:
         return gold_wins(qa), gold_wins(load_holdout_phrasings())
 
     def test_qa_gold_wins_floor(self, diag):
-        assert diag[0] >= 0.78, f"qa gold-wins regressed: {diag[0]:.3f} < 0.78"
+        assert diag[0] >= 0.85, f"qa gold-wins regressed: {diag[0]:.3f} < 0.85"
 
     def test_holdout_gold_wins_floor(self, diag):
-        assert diag[1] >= 0.45, f"holdout gold-wins regressed: {diag[1]:.3f} < 0.45"
+        assert diag[1] >= 0.78, f"holdout gold-wins regressed: {diag[1]:.3f} < 0.78"

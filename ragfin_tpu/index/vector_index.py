@@ -166,7 +166,26 @@ class DeviceVectorIndex:
         dtype: jnp.dtype = jnp.float32,
         normalize: bool = True,
         int8_shadow: bool = True,
+        host_quantize: Optional[bool] = None,
     ):
+        quantized = str(dtype) in ("int8", "jnp.int8") or dtype == jnp.int8
+        # Large int8 builds prep on HOST: the device path stages the full
+        # f32 [D, N] (15.4 GB at 10M — over HBM) before quantizing, while
+        # the host path transfers only the int8 matrix + scales (4x less).
+        # numpy mirrors the device math op-for-op (np.rint and jnp.round
+        # are both half-to-even; all arithmetic pinned to f32), tested
+        # bitwise-equal against the device path (tests/test_topk.py).
+        if host_quantize is None:
+            host_quantize = (
+                quantized
+                and isinstance(embeddings, np.ndarray)
+                and embeddings.nbytes > (4 << 30)
+            )
+        if host_quantize and quantized and isinstance(embeddings, np.ndarray):
+            self._init_host_quantized(
+                embeddings, records, name, pad_multiple, normalize, int8_shadow
+            )
+            return
         embeddings = jnp.asarray(embeddings, dtype=jnp.float32)
         if embeddings.ndim != 2:
             raise ValueError("embeddings must be [N, D]")
@@ -211,6 +230,45 @@ class DeviceVectorIndex:
         # Query-encoding backends; populated by build()/load() or assignable.
         # Initialized here so a directly-constructed index fails search_texts
         # with a clear "no embedder attached" instead of AttributeError.
+        self.embedder = None
+        self.featurizer = None
+        self.encoder = None
+
+    def _init_host_quantized(
+        self,
+        embeddings: np.ndarray,
+        records: Sequence[IndexedChunk],
+        name: str,
+        pad_multiple: int,
+        normalize: bool,
+        int8_shadow: bool,
+    ) -> None:
+        """Host-side normalize + pad + int8 quantize (numpy), device transfer
+        of ONLY the int8 matrix + scales. Mirrors the device path op-for-op
+        in f32; `_exact_rows` (the repair/oracle basis) is the same
+        host-normalized f32 rows either way."""
+        if embeddings.ndim != 2:
+            raise ValueError("embeddings must be [N, D]")
+        if embeddings.shape[0] != len(records):
+            raise ValueError("embeddings/records length mismatch")
+        x = np.asarray(embeddings, np.float32)
+        if normalize:
+            nrm = np.sqrt(np.einsum("nd,nd->n", x, x, dtype=np.float32))
+            x = x / np.maximum(nrm, np.float32(1e-12))[:, None]
+        self.n, self.dim = x.shape
+        pad = -self.n % pad_multiple if self.n else pad_multiple
+        if pad:
+            x = np.pad(x, ((0, pad), (0, 0)))
+        self.quantized = True
+        absmax = np.max(np.abs(x), axis=1) if x.size else np.zeros(x.shape[0], np.float32)
+        scale = np.maximum(absmax, np.float32(1e-12)) / np.float32(127.0)
+        q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
+        self.matrix_t = jnp.asarray(np.ascontiguousarray(q.T))
+        self.scales = jnp.asarray(scale.reshape(1, -1).astype(np.float32))
+        self._exact_rows = x[: self.n] if int8_shadow else None
+        self.records = list(records)
+        self._by_id = {r.id: i for i, r in enumerate(self.records)}
+        self.name = name
         self.embedder = None
         self.featurizer = None
         self.encoder = None

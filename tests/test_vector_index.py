@@ -422,3 +422,71 @@ class TestHoldoutPhrasings:
             assert q.expected_chunks, q.id
             for c in q.expected_chunks:
                 assert c.startswith("icici_q") and c.endswith(valid_suffixes), c
+
+
+class TestHostQuantizePath:
+    """Round-5: large int8 builds quantize on HOST (the device path stages
+    the full f32 [D, N] — 15.4 GB at 10M, over HBM — before quantizing).
+    The host path must reproduce the device path's int8 matrix, scales,
+    search results, and repair basis."""
+
+    def _records(self, n):
+        from ragfin_tpu.data.models import IndexedChunk
+
+        return [
+            IndexedChunk(
+                id=f"c{i}", text=f"chunk {i}", period="Q1_FY2024",
+                chunk_type="profitability_analysis",
+                statement_type="consolidated", primary_value=float(i),
+            )
+            for i in range(n)
+        ]
+
+    def test_bitwise_parity_prenormalized(self):
+        """With pre-unit-norm input (normalize=False) every op is
+        elementwise f32 with half-to-even rounding on both paths — the
+        int8 matrix must be BITWISE identical. Scales may differ by 1 ulp
+        (XLA lowers the f32 division to reciprocal-multiply; numpy does
+        IEEE division) — the repair re-scores from f32 rows, so a 1-ulp
+        scale wobble never reaches results."""
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((300, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        recs = self._records(300)
+        import jax.numpy as jnp
+
+        dev = DeviceVectorIndex(
+            x.copy(), recs, dtype=jnp.int8, normalize=False,
+            pad_multiple=128, host_quantize=False,
+        )
+        host = DeviceVectorIndex(
+            x.copy(), recs, dtype=jnp.int8, normalize=False,
+            pad_multiple=128, host_quantize=True,
+        )
+        np.testing.assert_array_equal(np.asarray(dev.matrix_t), np.asarray(host.matrix_t))
+        np.testing.assert_allclose(
+            np.asarray(dev.scales), np.asarray(host.scales), rtol=2e-7, atol=0
+        )
+        np.testing.assert_array_equal(dev._exact_rows, host._exact_rows)
+
+    def test_search_parity_normalized(self):
+        """With normalize=True the two paths differ only by reduction
+        order in the norm (1 ulp); searches must agree exactly on ids
+        after the shared exact repair."""
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((512, 64)).astype(np.float32)
+        recs = self._records(512)
+        import jax.numpy as jnp
+
+        dev = DeviceVectorIndex(
+            x.copy(), recs, dtype=jnp.int8, pad_multiple=128, host_quantize=False
+        )
+        host = DeviceVectorIndex(
+            x.copy(), recs, dtype=jnp.int8, pad_multiple=128, host_quantize=True
+        )
+        q = rng.standard_normal((5, 64)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sd, idd = dev.search_embeddings(q, top_k=10)
+        sh, idh = host.search_embeddings(q, top_k=10)
+        np.testing.assert_array_equal(np.asarray(idd), np.asarray(idh))
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sh), rtol=0, atol=1e-6)

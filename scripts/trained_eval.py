@@ -129,6 +129,7 @@ def main() -> None:
         os.environ.get("TRAINED_DTYPE", "f32")
     ]
     idx = DeviceVectorIndex(matrix, chunks, dtype=dtype)
+    del matrix  # the index keeps its own (padded) rows; drop the extra 15 GB at 10M
     idx.embedder = embedder  # query encoding path
     print(
         f"[{time.perf_counter()-t0:7.1f}s] index built: {len(idx):,} (dtype {dtype.__name__})",

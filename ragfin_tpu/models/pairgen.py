@@ -388,13 +388,53 @@ def _metric_phrase(metric: str, r) -> str:
 _TEMPLATE_FNS = {ctype: fn for ctype, fn, _ in _TEMPLATES}
 _TYPE_ORDER = sorted(_BY_TYPE)
 
+# Round-5 residual, v5 prep: METRIC-ONLY fragment queries ("net profit
+# growth", "cost to income ratio") score near-noise on the v4 query tower —
+# every v4 training query is question-formed and carries a scope token, so
+# the tower leans on bank/period tokens (encoder_diag fragment arm; template
+# wrapping at query time was measured ineffective). Fragment positives pair
+# a BARE metric phrase with a doc of that metric's chunk type at a random
+# scope. In a types hard-block the in-batch negatives are the SAME scope's
+# other statement types — exactly clean. In quarter/nobank batches a
+# same-metric doc at another scope can collide as a false negative, but the
+# sampled scope is uniform over training, so the scope component of that
+# gradient cancels in expectation while the metric-discrimination signal
+# stays consistent.
+_FRAGMENT_FRAC = 0.12
 
-def _quarter_row(r, bank, year, q, metric, nobank=False):
+
+def _fragment_query(metric: str, r) -> str:
+    frag = _metric_phrase(metric, r)
+    u = r.uniform()
+    if u < 0.15:
+        frag = "the " + frag
+    elif u < 0.30 and not frag.endswith("growth"):
+        frag = frag + " growth"
+    return frag
+
+
+def fragment_queries() -> list[tuple[str, str]]:
+    """Deterministic scope-token-less fragment diagnostics: ``(query,
+    chunk_type)`` pairs covering every metric concept (first two surface
+    phrasings each). Used by scripts/encoder_diag.py's fragment arm, where
+    gold = every chunk of the fragment's statement type."""
+    out = []
+    for metric, (ctype, phrasings) in _METRICS.items():
+        for p in phrasings[:2]:
+            if "{seg}" in p:
+                p = p.format(seg=_SEGMENTS[0].lower())
+            out.append((p, ctype))
+    return out
+
+
+def _quarter_row(r, bank, year, q, metric, nobank=False, fragment=False):
     """One quarter-specific (query, doc) pair for an exact scope."""
     ctype, _ = _METRICS[metric]
     doc = _TEMPLATE_FNS[ctype](bank, f"Q{q}_FY{year}", r)
     if r.uniform() < 0.5:
         doc = _reword(doc, r)
+    if fragment:
+        return _fragment_query(metric, r), doc
     if nobank:
         tmpl = _Q_NOBANK_TEMPLATES[int(r.integers(0, len(_Q_NOBANK_TEMPLATES)))]
         query = tmpl.format(
@@ -433,7 +473,12 @@ def hard_block(r) -> list[tuple[str, str, tuple]]:
         for ctype in _TYPE_ORDER:
             names = _BY_TYPE[ctype]
             metric = names[int(r.integers(0, len(names)))]
-            query, doc = _quarter_row(r, bank, year, q, metric)
+            # Fragments are exactly clean here: the block's negatives are
+            # the same scope's OTHER types, so a scope-less metric query
+            # still has a unique in-block gold. (Never in quarters blocks —
+            # four same-metric docs would all be valid for a bare fragment.)
+            frag = r.uniform() < 2 * _FRAGMENT_FRAC
+            query, doc = _quarter_row(r, bank, year, q, metric, fragment=frag)
             rows.append((query, doc, (bank, year, q, ctype)))
     else:  # quarters block
         ctype = _TYPE_ORDER[int(r.integers(0, len(_TYPE_ORDER)))]
@@ -468,20 +513,28 @@ def make_pair(r, mode: str = "quarter") -> tuple[str, str, tuple]:
         # as the eval's reword tamper tier.
         doc = _reword(doc, r)
     if mode == "quarter":
-        extras = _Q_EXTRAS.get(ctype, [])
-        pool = extras if (extras and r.uniform() < 0.2) else _Q_TEMPLATES
-        tmpl = pool[int(r.integers(0, len(pool)))]
-        query = tmpl.format(
-            bank=_bank_phrase(bank, r),
-            metric=_metric_phrase(metric, r),
-            period=_period_phrase(q, year, r),
-        )
+        if r.uniform() < _FRAGMENT_FRAC:
+            query = _fragment_query(metric, r)
+        else:
+            extras = _Q_EXTRAS.get(ctype, [])
+            pool = extras if (extras and r.uniform() < 0.2) else _Q_TEMPLATES
+            tmpl = pool[int(r.integers(0, len(pool)))]
+            query = tmpl.format(
+                bank=_bank_phrase(bank, r),
+                metric=_metric_phrase(metric, r),
+                period=_period_phrase(q, year, r),
+            )
         cell = (bank, year, q, ctype)
     elif mode == "nobank":
-        tmpl = _Q_NOBANK_TEMPLATES[int(r.integers(0, len(_Q_NOBANK_TEMPLATES)))]
-        query = tmpl.format(
-            metric=_metric_phrase(metric, r), period=_period_phrase(q, year, r)
-        )
+        if r.uniform() < _FRAGMENT_FRAC:
+            query = _fragment_query(metric, r)
+        else:
+            tmpl = _Q_NOBANK_TEMPLATES[
+                int(r.integers(0, len(_Q_NOBANK_TEMPLATES)))
+            ]
+            query = tmpl.format(
+                metric=_metric_phrase(metric, r), period=_period_phrase(q, year, r)
+            )
         cell = (year, q, ctype)
     else:
         if r.uniform() < 0.3:

@@ -73,6 +73,24 @@ def main() -> None:
 
     tower_stats(load_holdout_phrasings(), "holdout(hand) ")
 
+    # Fragment arm (v4 KNOWN RESIDUAL / v5 target): scope-token-less metric
+    # fragments ("net profit", "cost to income ratio"). Gold = every chunk
+    # of the fragment's statement type — with no scope token any quarter's
+    # chunk of the right type is a win; landing on another type is the
+    # failure this arm measures.
+    from types import SimpleNamespace
+
+    from ragfin_tpu.models.pairgen import fragment_queries
+
+    by_type: dict[str, list[str]] = {}
+    for c in chunks:
+        by_type.setdefault(c.chunk_type, []).append(c.id)
+    frags = [
+        SimpleNamespace(question=q, expected_chunks=by_type[ct])
+        for q, ct in fragment_queries()
+    ]
+    tower_stats(frags, "fragments     ")
+
     # Doc-tower separation: reworded same-scope dupe vs a cross-scope chunk.
     from ragfin_tpu.eval.distractors import _reword  # same machinery as training
 

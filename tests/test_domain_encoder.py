@@ -141,6 +141,45 @@ class TestPairGen:
         assert len(queries) == 64
         assert len(set(docs)) == 64
 
+    def test_fragment_queries_cover_all_metrics_scopelessly(self):
+        from ragfin_tpu.models.pairgen import _METRICS, fragment_queries
+
+        frags = fragment_queries()
+        assert len(frags) >= len(_METRICS)
+        assert {ct for _, ct in frags} == set(_METRICS[m][0] for m in _METRICS)
+        for q, _ in frags:
+            # scope-token-less by construction: no digits, no FY/quarter
+            assert not any(ch.isdigit() for ch in q), q
+            assert "FY" not in q and "quarter" not in q.lower(), q
+        assert fragment_queries() == frags  # deterministic
+
+    def test_quarter_mode_emits_fragment_positives(self):
+        # v5 prep: ~12% of quarter-mode queries are bare metric fragments
+        # (no scope token => no digits; every templated quarter query
+        # carries a period phrase, which always contains a year digit).
+        r = np.random.default_rng(3)
+        n_frag = 0
+        for _ in range(400):
+            q, d, cell = make_pair(r, "quarter")
+            if not any(ch.isdigit() for ch in q):
+                n_frag += 1
+            assert len(cell) == 4  # cell semantics unchanged
+        assert 20 <= n_frag <= 110
+
+    def test_hard_quarters_blocks_never_fragment(self):
+        # A scope-less fragment inside a QUARTERS block would have four
+        # equally-valid same-metric docs (false negatives); only types
+        # blocks may fragment.
+        from ragfin_tpu.models.pairgen import hard_block
+
+        r = np.random.default_rng(5)
+        for _ in range(60):
+            rows = hard_block(r)
+            quarters = {c[2] for _, _, c in rows}
+            if len(quarters) == 4:  # quarters block
+                for q, _, _ in rows:
+                    assert any(ch.isdigit() for ch in q), q
+
 
 @pytest.fixture(scope="module")
 def tiny_checkpoint(tmp_path_factory):

@@ -163,6 +163,7 @@ def train_domain_encoder(
     ckpt_dir: str = DEFAULT_CKPT_DIR,
     vocab_extra_texts: Optional[list[str]] = None,
     save_every_chunks: int = 8,
+    init_from: Optional[str] = None,
     log=print,
 ) -> dict:
     """Train the domain encoder and write the checkpoint. Returns metrics.
@@ -170,6 +171,15 @@ def train_domain_encoder(
     Runs on whatever platform jax is configured for — the TPU through the
     tunnel by default (scan-chunked so tunnel dispatch cost is amortized),
     or CPU when pinned (tests / tunnel-down fallback).
+
+    ``init_from``: warm-start from an existing checkpoint directory — reuses
+    its vocabulary/tokenizer and architecture verbatim (``num_layers`` /
+    ``vocab_budget`` / ``vocab_extra_texts`` are ignored) and initializes
+    params from it. This turns a data-mixture revision (e.g. the v5
+    fragment-positive pairs) into a short fine-tune instead of a full
+    from-scratch run: the ~51-min v4 recipe spends most of its wall time on
+    vocabulary construction and host tokenization that a warm start skips
+    or shortens.
     """
     import jax
     import jax.numpy as jnp
@@ -183,27 +193,46 @@ def train_domain_encoder(
     t0 = time.perf_counter()
     rng = np.random.default_rng(seed)
 
-    # 1. Domain vocabulary from a generated corpus sample (+ the production
-    # chunk texts when available — building a vocab from the corpus an index
-    # will serve is standard practice, not leakage: eval questions are held
-    # out and share only the idiom lexicon).
-    vocab_texts = corpus_sample(4000, seed=seed)
-    if vocab_extra_texts:
-        vocab_texts = vocab_texts + list(vocab_extra_texts)
-    vocab = build_wordpiece_vocab(vocab_texts, vocab_size=vocab_budget)
-    # Round the embedding table up to a lane-friendly multiple of 128.
-    table_size = -(-len(vocab) // 128) * 128
-    tokenizer = WordPieceTokenizer(vocab=vocab, max_len=doc_len, collapse_numbers=True)
-    log(f"[{time.perf_counter()-t0:6.1f}s] vocab: {len(vocab)} tokens (table {table_size})")
+    if init_from is not None:
+        # Warm start: vocabulary, architecture, and params all come from the
+        # parent checkpoint so the fine-tuned model is drop-in compatible
+        # (same tokenizer ⇒ same featurization; only params change).
+        params, tokenizer, config, parent_meta = load_encoder_checkpoint(init_from)
+        vocab = tokenizer.vocab
+        # Sequences must fit the parent's position table — silently longer
+        # inputs would gather out-of-range position embeddings (NaN).
+        query_len = min(query_len, config.max_position)
+        doc_len = min(doc_len, config.max_position)
+        log(
+            f"[{time.perf_counter()-t0:6.1f}s] warm start from {init_from}: "
+            f"{len(vocab)} tokens, parent steps={parent_meta.get('steps')}, "
+            f"lens q={query_len}/d={doc_len}"
+        )
+    else:
+        # 1. Domain vocabulary from a generated corpus sample (+ the production
+        # chunk texts when available — building a vocab from the corpus an index
+        # will serve is standard practice, not leakage: eval questions are held
+        # out and share only the idiom lexicon).
+        vocab_texts = corpus_sample(4000, seed=seed)
+        if vocab_extra_texts:
+            vocab_texts = vocab_texts + list(vocab_extra_texts)
+        vocab = build_wordpiece_vocab(vocab_texts, vocab_size=vocab_budget)
+        # Round the embedding table up to a lane-friendly multiple of 128.
+        table_size = -(-len(vocab) // 128) * 128
+        tokenizer = WordPieceTokenizer(vocab=vocab, max_len=doc_len, collapse_numbers=True)
+        log(f"[{time.perf_counter()-t0:6.1f}s] vocab: {len(vocab)} tokens (table {table_size})")
 
-    config = MiniLMConfig(
-        vocab_size=table_size,
-        num_layers=num_layers,
-        max_position=max(doc_len, query_len),
-    )
-    params = init_params(config, seed=seed)
+        config = MiniLMConfig(
+            vocab_size=table_size,
+            num_layers=num_layers,
+            max_position=max(doc_len, query_len),
+        )
+        params = init_params(config, seed=seed)
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
-    log(f"[{time.perf_counter()-t0:6.1f}s] model: {num_layers} layers, {n_params/1e6:.1f}M params")
+    log(
+        f"[{time.perf_counter()-t0:6.1f}s] model: {config.num_layers} layers, "
+        f"{n_params/1e6:.1f}M params"
+    )
 
     warmup = min(warmup, max(1, steps // 10))  # decay span must stay positive
     schedule = optax.warmup_cosine_decay_schedule(
@@ -271,6 +300,7 @@ def train_domain_encoder(
         if chunk_idx % save_every_chunks == 0 or done >= steps:
             meta = {
                 "steps": done,
+                "init_from": init_from,
                 "batch_size": batch_size,
                 "final_loss": record["loss"],
                 "final_accuracy": record["accuracy"],

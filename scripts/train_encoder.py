@@ -29,9 +29,14 @@ def main() -> None:
     from ragfin_tpu.utils.device import enable_compilation_cache
 
     enable_compilation_cache()
+    init_from = os.environ.get("INIT_FROM") or None
     vocab_extra = []
     ref = os.environ.get("REFERENCE_ROOT", "/root/reference")
     data_dir = os.path.join(ref, "extract_data")
+    if init_from:
+        # Warm start reuses the parent vocabulary — skip the (slow) vocab
+        # text collection entirely.
+        data_dir = ""
     if os.path.isdir(data_dir):
         from ragfin_tpu.data.loader import build_corpus
 
@@ -39,7 +44,7 @@ def main() -> None:
     # Round-5 vocabulary growth from realistic in-image financial text
     # (VERDICT #1: reference PDFs and qa_subset QUESTION texts are fair
     # vocab sources; eval answers and the hand-written holdout are not).
-    qa_path = os.path.join(ref, "qa_subset.json")
+    qa_path = "" if init_from else os.path.join(ref, "qa_subset.json")
     if os.path.exists(qa_path):
         from ragfin_tpu.eval.datasets import load_qa_subset
 
@@ -49,7 +54,10 @@ def main() -> None:
 
     from ragfin_tpu.data.pdf_extractor import extract_text
 
-    for pdf in sorted(glob.glob(os.path.join(ref, "FinRag_Parameter_Extractor", "*", "*.pdf"))):
+    pdf_glob = [] if init_from else sorted(
+        glob.glob(os.path.join(ref, "FinRag_Parameter_Extractor", "*", "*.pdf"))
+    )
+    for pdf in pdf_glob:
         try:
             txt = extract_text(pdf)
         except Exception:
@@ -70,10 +78,12 @@ def main() -> None:
         steps=int(os.environ.get("STEPS", 2000)),
         batch_size=int(os.environ.get("BATCH", 256)),
         num_layers=int(os.environ.get("LAYERS", 4)),
+        learning_rate=float(os.environ.get("LR", 3e-4)),
         scan_chunk=int(os.environ.get("SCAN_CHUNK", 25)),
         seed=int(os.environ.get("SEED", 0)),
         ckpt_dir=os.environ.get("CKPT_DIR", DEFAULT_CKPT_DIR),
         vocab_extra_texts=vocab_extra,
+        init_from=init_from,
     )
     result["platform"] = jax.devices()[0].platform
     result["total_wall_s"] = round(time.time() - t0, 1)

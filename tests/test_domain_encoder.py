@@ -232,6 +232,43 @@ class TestTraining:
         v2 = emb.encode_texts(["ICICI net profit Q1 FY2024", "HDFC deposits"])
         np.testing.assert_allclose(v, v2, atol=0)
 
+    def test_warm_start_finetune(self, tiny_checkpoint, tmp_path):
+        """init_from fine-tunes in place of a from-scratch run: same vocab,
+        same architecture, params initialized from the parent (v5 recipe)."""
+        from ragfin_tpu.models.domain_encoder import (
+            load_encoder_checkpoint,
+            train_domain_encoder,
+        )
+
+        parent_dir, _ = tiny_checkpoint
+        d = str(tmp_path / "finetuned")
+        result = train_domain_encoder(
+            steps=4,
+            batch_size=8,
+            scan_chunk=2,
+            learning_rate=1e-4,
+            warmup=1,
+            ckpt_dir=d,
+            init_from=parent_dir,
+            log=lambda *a, **k: None,
+        )
+        assert result["steps"] == 4
+        p_params, p_tok, p_cfg, _ = load_encoder_checkpoint(parent_dir)
+        c_params, c_tok, c_cfg, c_meta = load_encoder_checkpoint(d)
+        # drop-in compatible: identical vocabulary and architecture
+        assert c_tok.vocab == p_tok.vocab
+        assert (c_cfg.vocab_size, c_cfg.num_layers, c_cfg.hidden_size) == (
+            p_cfg.vocab_size,
+            p_cfg.num_layers,
+            p_cfg.hidden_size,
+        )
+        assert c_meta["init_from"] == parent_dir
+        # params moved but stayed close to the parent (fine-tune, not re-init)
+        pe = p_params["params"]["word_embeddings"]["embedding"]
+        ce = c_params["params"]["word_embeddings"]["embedding"]
+        assert not np.array_equal(pe, ce)
+        assert float(np.abs(pe - ce).max()) < 0.1
+
     def test_missing_checkpoint_raises(self, tmp_path):
         from ragfin_tpu.models.embedder import make_embedder
 
